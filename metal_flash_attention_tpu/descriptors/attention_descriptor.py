@@ -1,0 +1,106 @@
+"""Problem-level attention descriptor and kernel-config resolution.
+
+TPU-native analog of `Attention/AttentionDescriptor/
+AttentionDescriptor.swift:10-76` (the problem descriptor: matrix
+dimensions, precision toggles, causal / mask / bias / window / quantized
+KV flags, per-operand transposes) and its `kernelDescriptor(type:)`
+resolution (`:82-187`) that consults the parameter tables and the
+precision policy (`AttentionDescriptor+Precisions.swift`).
+
+On TPU the "kernel descriptor" resolves to a :class:`KernelConfig`
+(block sizes + compute dtypes) that parameterizes one of three Pallas
+programs — forward, backwardQuery, backwardKeyValue
+(`AttentionKernelType.swift:10-23`).  Transposes are not part of the
+TPU kernel space: `dot_general` dimension numbers absorb them at zero
+cost, so the descriptor canonicalizes all operands to [B, H, N, D].
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax.numpy as jnp
+
+from metal_flash_attention_tpu.descriptors.parameters import (
+    select_block_sizes,
+    tpu_generation,
+)
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+
+
+class AttentionKernelType(enum.Enum):
+    """The three-kernel family (AttentionKernelType.swift:10-23)."""
+    FORWARD = "forward"                      # computes O, L
+    BACKWARD_QUERY = "backward_query"        # computes dQ; needs L, D
+    BACKWARD_KEY_VALUE = "backward_key_value"  # computes dK, dV; needs L, D
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    """Resolved per-kernel configuration (reference:
+    AttentionKernelDescriptor.swift:8-80)."""
+    kernel_type: AttentionKernelType
+    block_q: int
+    block_kv: int
+    head_dim: int
+    compute_dtype: object
+    accumulator_dtype: object = jnp.float32
+
+
+@dataclass(frozen=True)
+class AttentionDescriptor:
+    """Problem description; hashable, serves as the kernel-cache key
+    (the reference's canonical `GEMMKey`-style identity,
+    GEMMDescriptor.swift:49-90)."""
+    batch: int = 1
+    q_heads: int = 1
+    kv_heads: int = 1
+    q_len: int = 1
+    kv_len: int = 1
+    head_dim: int = 64
+    # Precision toggles (AttentionDescriptor.swift:11-27).
+    input_precision: OperandPrecision = OperandPrecision.FP32
+    output_precision: Optional[OperandPrecision] = None
+    kv_precision: Optional[OperandPrecision] = None  # quantized KV cache
+    # Masking family (AttentionDescriptor.swift:31-57).
+    causal: bool = False
+    has_mask: bool = False
+    has_bias: bool = False
+    window_size: Optional[int] = None
+    # Softmax scale; None -> 1/sqrt(head_dim).
+    scale: Optional[float] = None
+
+    @property
+    def resolved_scale(self) -> float:
+        return (self.scale if self.scale is not None
+                else 1.0 / math.sqrt(self.head_dim))
+
+    @property
+    def quantized_kv(self) -> bool:
+        return self.kv_precision is not None and self.kv_precision.is_quantized
+
+    def kernel_config(
+        self,
+        kernel_type: AttentionKernelType,
+        *,
+        generation: Optional[str] = None,
+        block_q: Optional[int] = None,
+        block_kv: Optional[int] = None,
+    ) -> KernelConfig:
+        """Resolve block dimensions from the parameter tables
+        (reference: AttentionDescriptor.swift:82-187)."""
+        compute = self.input_precision.compute_dtype
+        bq, bkv = select_block_sizes(
+            kernel_type.value, self.head_dim, compute,
+            generation=generation or tpu_generation(),
+        )
+        return KernelConfig(
+            kernel_type=kernel_type,
+            block_q=block_q or bq,
+            block_kv=block_kv or bkv,
+            head_dim=self.head_dim,
+            compute_dtype=compute,
+        )

@@ -1,0 +1,127 @@
+"""Block-size parameter tables ("the large parameter file").
+
+TPU-native analog of the reference's per-(kernel x precision-regime x
+GPU-generation) pipe-delimited block-dimension tables
+(`Attention/AttentionDescriptor/AttentionDescriptor+Parameters.swift:77-285`
+and the row parser `AttentionParameterRow.swift:22-74`).  The reference
+keys rows by *maximum head dimension* and selects the first row whose
+bound covers the problem's head dim (`+Parameters.swift:41-66`); we do
+the same, keyed additionally by TPU generation.
+
+Where the reference's rows encode (parallelization, traversal, head)
+block sizes plus the register-cached operand set, a TPU row encodes
+(block_q, block_kv) Pallas block sizes — the head dimension is never
+blocked on TPU below D<=256 because a [block_q, 256] fp32 accumulator
+strip is only 128 KB of VMEM (SURVEY.md §7.1); the VMEM budget check is
+in :func:`vmem_bytes`.
+
+Rows come from the autotuner (`metal_flash_attention_tpu.runtime.autotune`)
+measured on real hardware; these are its checked-in outputs, exactly as
+the reference's tables are its Metal autotuner's outputs checked in as
+text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ParameterRow:
+    """One row: applies when head_dim <= max_head_dim
+    (reference: AttentionParameterRow.swift:8-106)."""
+    max_head_dim: int
+    block_q: int
+    block_kv: int
+
+
+# kernel type -> dtype regime -> generation -> rows
+# Regimes mirror the reference's parameterFile dispatch
+# (AttentionDescriptor+Parameters.swift:13-39): full fp32 vs mixed.
+_TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
+    "forward": {
+        "fp32": {
+            "default": (
+                ParameterRow(128, 256, 512),
+                ParameterRow(256, 128, 512),
+                ParameterRow(8192, 128, 256),
+            ),
+        },
+        "mixed": {
+            "default": (
+                ParameterRow(128, 256, 1024),
+                ParameterRow(256, 256, 512),
+                ParameterRow(8192, 128, 256),
+            ),
+        },
+    },
+    "backward_query": {
+        "fp32": {"default": (
+            ParameterRow(256, 128, 256),
+            ParameterRow(8192, 128, 128),
+        )},
+        "mixed": {"default": (
+            ParameterRow(256, 128, 512),
+            ParameterRow(8192, 128, 256),
+        )},
+    },
+    "backward_key_value": {
+        "fp32": {"default": (
+            ParameterRow(256, 128, 128),
+            ParameterRow(8192, 128, 128),
+        )},
+        "mixed": {"default": (
+            ParameterRow(256, 256, 128),
+            ParameterRow(8192, 128, 128),
+        )},
+    },
+}
+
+
+def tpu_generation() -> str:
+    """Detect the TPU generation (reference analog: device-name parsing,
+    `GEMMDescriptor.swift:133-168`)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return "cpu"
+    for gen in ("v7", "v6", "v5", "v4", "v3"):
+        if gen in kind:
+            return gen
+    return "default"
+
+
+def select_block_sizes(
+    kernel_type: str,
+    head_dim: int,
+    dtype,
+    *,
+    generation: Optional[str] = None,
+) -> tuple[int, int]:
+    """First-row-that-covers selection, like the reference's
+    `row(table:)` (AttentionDescriptor+Parameters.swift:41-66)."""
+    regime = "fp32" if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else "mixed"
+    gens = _TABLES[kernel_type][regime]
+    gen = generation or tpu_generation()
+    rows = gens.get(gen, gens["default"])
+    for row in rows:
+        if head_dim <= row.max_head_dim:
+            return row.block_q, row.block_kv
+    last = rows[-1]
+    return last.block_q, last.block_kv
+
+
+def vmem_bytes(
+    block_q: int, block_kv: int, head_dim_padded: int, itemsize: int,
+) -> int:
+    """Forward-kernel VMEM footprint: Q/K/V blocks + scores + (m, l, acc)
+    scratch.  The TPU analog of the reference's
+    `threadgroupMemoryAllocation` (AttentionKernel.swift:321-412)."""
+    qkv = (block_q + 2 * block_kv) * head_dim_padded * itemsize
+    scores = block_q * block_kv * 4
+    scratch = block_q * 128 * 4 * 2 + block_q * head_dim_padded * 4
+    return qkv + scores + scratch

@@ -1,0 +1,390 @@
+"""Fused flash-attention forward kernel (Pallas / TPU).
+
+TPU-native re-design of the reference's generated forward attention
+kernel (`Sources/FlashAttention/Attention/AttentionKernel/
+AttentionKernel+Source.swift:346-417` — loopForward): one fused pass
+computing QK^T -> online softmax with running (m, l) statistics ->
+P V accumulation, emitting O and the logsumexp residual L for the
+backward pass (L = m + log2(l) in the reference,
+`AttentionKernel+Caching.swift:371-379`; we expose natural-log L).
+
+Where the reference emits Metal Shading Language strings specialized
+per problem and drives 8x8 simdgroup tiles, this kernel is a single
+Pallas program tiled for the 128x128 MXU:
+
+- grid = (batch, q_heads, R/block_q, C/block_kv); the first three grid
+  dimensions are "parallel" (the reference's threadgroup grid,
+  `SquareAttentionTest.swift:328-339`), the last is the sequential
+  online-softmax traversal loop.
+- The Q strip and the (m, l, acc) state live in VMEM scratch across the
+  traversal loop — the analog of the reference's register-cached Q/O
+  operands (`AttentionKernel+Caching.swift:18-281`).
+- exp2 trick: log2(e) * scale is folded into the QK product so the
+  softmax uses exp2 (`AttentionKernel+Softmax.swift:17-26`).
+- Causal / sliding-window blocks that are fully masked are skipped at
+  block granularity (`AttentionKernel+Source.swift:365-381`).
+- GQA: q_heads may be a multiple of kv_heads; the K/V index map folds
+  the group quotient (reference fork: batched multi-head dispatch,
+  `AttentionKernel+Source.swift:35-48`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_tpu.utils.shapes import (
+    round_up,
+    pad_to,
+)
+
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
+# Finite sentinel instead of -inf (avoids exp(-inf - -inf) NaNs); same
+# role as the reference's `-max * 0.875 / log2e` constant
+# (AttentionKernel+Softmax.swift:228-260).
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Magnitude subtracted from logits gated off by the external mask
+# (finite, so exp2 flushes to 0 without inf-inf NaNs).
+GATE_MAGNITUDE = 1e30
+MIN_LANES = 128
+# Per-row residuals (L, D) are stored as [batch, heads, 8, r_pad] with
+# duplicated sublanes: the minimal layout that satisfies the TPU (8, 128)
+# tile constraint for any batch/head count (a 128x-expanded layout like
+# some implementations use wastes 16x more HBM bandwidth).
+RESIDUAL_SUBLANES = 8
+
+
+def _block_visible(
+    i, j, *, block_q: int, block_kv: int, causal: bool,
+    window_size: Optional[int], offset: int, kv_len: int,
+):
+    """Whether KV block j contributes anything to Q block i.
+
+    Mirrors the reference's sliding-window / causal block-skip logic
+    (`AttentionKernel+Source.swift:365-381`).  `offset = kv_len - q_len`
+    aligns the causal diagonal to the sequence ends.
+    """
+    conds = []
+    # Any column of block j in range at all (kv padding).
+    conds.append(j * block_kv < kv_len)
+    if causal:
+        # Lowest visible row of block i sees columns <= i*bq + bq-1 + offset.
+        conds.append(j * block_kv <= (i + 1) * block_q - 1 + offset)
+    if window_size is not None:
+        # Highest row of block i sees columns > i*bq + offset - window.
+        conds.append((j + 1) * block_kv - 1 > i * block_q + offset - window_size)
+    out = conds[0]
+    for c in conds[1:]:
+        out = jnp.logical_and(out, c)
+    return out
+
+
+def _make_fwd_kernel(
+    *,
+    block_q: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    q_len: int,
+    kv_len: int,
+    scale: float,
+    causal: bool,
+    window_size: Optional[int],
+    has_mask: bool,
+    has_bias: bool,
+    needs_struct_mask: bool,
+    out_dtype,
+    precision=None,
+):
+    scale_log2e = scale * LOG2E
+    offset = kv_len - q_len
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        mask_ref = next(it) if has_mask else None
+        bias_ref = next(it) if has_bias else None
+        o_ref = next(it)
+        l_ref = next(it)
+        m_scr = next(it)
+        l_scr = next(it)
+        acc_scr = next(it)
+
+        i = pl.program_id(2)
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        should_run = _block_visible(
+            i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+            window_size=window_size, offset=offset, kv_len=kv_len,
+        )
+
+        @pl.when(should_run)
+        def _run():
+            q = q_ref[0, 0]
+            k = k_ref[0, 0]
+            # S = Q K^T, accumulated in FP32 on the MXU, with
+            # log2(e)/sqrt(D) folded in (exp2 trick).
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            s *= scale_log2e
+            if has_bias:
+                s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
+
+            # Structural masks (padding/causal/window) are boolean —
+            # iota-derived i1 vectors lower cleanly.  The *loaded*
+            # external mask is applied arithmetically instead: an i1
+            # vector sourced from memory trips a Mosaic relayout error
+            # when combined with iota-derived booleans, and a float
+            # gate is one VPU mul anyway.
+            struct_mask = None
+            gate = None
+            if needs_struct_mask:
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0) + i * block_q
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 1) + j * block_kv
+                struct_mask = cols < kv_len
+                if causal:
+                    struct_mask &= cols <= rows + offset
+                if window_size is not None:
+                    struct_mask &= cols > rows + offset - window_size
+                s = jnp.where(struct_mask, s, MASK_VALUE)
+            if has_mask:
+                gate = jnp.minimum(
+                    jnp.abs(mask_ref[0, 0].astype(jnp.float32)), 1.0)
+                s = s + (gate - 1.0) * GATE_MAGNITUDE
+
+            m_prev = m_scr[...]            # [bq, 128]
+            l_prev = l_scr[...]            # [bq, 128]
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)         # [bq, 128]
+            alpha = jnp.exp2(m_prev - m_next)            # [bq, 128]
+            p = jnp.exp2(s - m_next[:, :1])              # [bq, bkv] f32
+            # Kill the degenerate fully-masked-row case where
+            # exp2(MASK - MASK) = 1 (reference's masked-row select,
+            # AttentionKernel+Softmax.swift:663-695).
+            if struct_mask is not None:
+                p = jnp.where(struct_mask, p, 0.0)
+            if gate is not None:
+                p = p * gate
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+
+            v = v_ref[0, 0]
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            # Deferred normalization: O /= l happens once at cleanup
+            # (reference's everyIterationScale / lastIterationScale
+            # hooks, AttentionKernel+Accumulate.swift:16-21).
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        @pl.when(j == num_kv_blocks - 1)
+        def _store():
+            l_final = l_scr[:, :1]
+            safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
+            o_ref[0, 0] = (acc_scr[...] / safe_l).astype(out_dtype)
+            m_final = m_scr[:, 0]
+            l_vec = l_scr[:, 0]
+            lse2 = jnp.where(
+                l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
+            # Residual layout: (RESIDUAL_SUBLANES, block_q) duplicated
+            # sublanes to satisfy the TPU (8, 128) tile constraint.
+            l_ref[0, 0] = jnp.broadcast_to(
+                (lse2 * LN2)[None, :], l_ref.shape[2:])
+
+    return kernel
+
+
+def flash_attention_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    window_size: Optional[int] = None,
+    mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Fused forward attention.
+
+    Args:
+        q: [batch, q_heads, q_len, head_dim]
+        k, v: [batch, kv_heads, kv_len, head_dim]; q_heads % kv_heads == 0
+        mask: optional boolean/int [batch|1, heads|1, q_len, kv_len];
+            nonzero = attend (reference operand `mask` @ buffer 10,
+            AttentionOperand.swift:66-88).
+        bias: optional additive float [batch|1, heads|1, q_len, kv_len]
+            (reference operand `attnBias` @ buffer 11).
+        window_size: sliding window width (reference `windowSize`,
+            AttentionDescriptor.swift:57); position r attends to
+            columns in (r + offset - window, r + offset].
+
+    Returns:
+        (o [batch, q_heads, q_len, head_dim], lse [batch, q_heads, q_len])
+        with lse the natural-log row logsumexp of scaled logits.
+    """
+    batch, q_heads, q_len, head_dim = q.shape
+    _, kv_heads, kv_len, _ = k.shape
+    assert q_heads % kv_heads == 0, (q_heads, kv_heads)
+    group = q_heads // kv_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # Pad to block/lane multiples; the kernel masks padded KV columns
+    # and padded head-dim lanes are zeros (contribute nothing).
+    d_pad = round_up(head_dim, MIN_LANES)
+    block_q = max(min(block_q, round_up(q_len, MIN_LANES)), MIN_LANES)
+    block_kv = max(min(block_kv, round_up(kv_len, MIN_LANES)), MIN_LANES)
+    r_pad = round_up(q_len, block_q)
+    c_pad = round_up(kv_len, block_kv)
+
+    qp = pad_to(q, (batch, q_heads, r_pad, d_pad))
+    kp = pad_to(k, (batch, kv_heads, c_pad, d_pad))
+    vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
+
+    has_mask = mask is not None
+    has_bias = bias is not None
+    needs_struct_mask = causal or window_size is not None or c_pad != kv_len
+
+    num_q_blocks = r_pad // block_q
+    num_kv_blocks = c_pad // block_kv
+    grid = (batch, q_heads, num_q_blocks, num_kv_blocks)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d_pad),
+                     lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad),
+                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad),
+                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+    ]
+    inputs = [qp, kp, vp]
+
+    def _aux_spec(a):
+        # Broadcast batch/head dims of size 1.
+        bdim = 0 if a.shape[0] == 1 else None
+        hdim = 0 if a.shape[1] == 1 else None
+        return pl.BlockSpec(
+            (1, 1, block_q, block_kv),
+            lambda b, h, i, j, bd=bdim, hd=hdim: (
+                bd if bd is not None else b,
+                hd if hd is not None else h, i, j),
+        )
+
+    if has_mask:
+        mp = pad_to(mask.astype(jnp.int8), mask.shape[:2] + (r_pad, c_pad))
+        in_specs.append(_aux_spec(mp))
+        inputs.append(mp)
+    if has_bias:
+        bp = pad_to(bias, bias.shape[:2] + (r_pad, c_pad))
+        in_specs.append(_aux_spec(bp))
+        inputs.append(bp)
+
+    out_dtype = q.dtype
+    # FP32 inputs demand true FP32 MXU passes (the reference's FP32
+    # regime carries a 2e-5 tolerance contract); lower precisions use
+    # the native bf16 MXU path.
+    precision = (jax.lax.Precision.HIGHEST
+                 if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32) else None)
+    kernel = _make_fwd_kernel(
+        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+        q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
+        window_size=window_size, has_mask=has_mask, has_bias=has_bias,
+        needs_struct_mask=needs_struct_mask, out_dtype=out_dtype,
+        precision=precision,
+    )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
+                         lambda b, h, i, j: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, q_heads, r_pad, d_pad), out_dtype),
+            jax.ShapeDtypeStruct(
+                (batch, q_heads, RESIDUAL_SUBLANES, r_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    return o[:, :, :q_len, :head_dim], lse[:, :, 0, :q_len]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "window_size", "scale", "block_q", "block_kv",
+        "interpret", "return_residuals",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    window_size: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: Optional[bool] = None,
+    return_residuals: bool = False,
+):
+    """Public fused attention entry point (differentiable).
+
+    See :func:`flash_attention_forward` for argument semantics.  The
+    backward pass uses the reference's atomic-free two-kernel split
+    (dQ kernel over rows, dK/dV kernel over columns; README.md:39-46).
+    """
+    from metal_flash_attention_tpu.ops.flash_attention_bwd import (
+        _flash_attention_vjp,
+    )
+
+    o, lse = _flash_attention_vjp(
+        q, k, v, mask, bias, causal, window_size, scale,
+        block_q, block_kv, interpret,
+    )
+    if return_residuals:
+        return o, lse
+    return o

@@ -1,0 +1,32 @@
+"""Test configuration: hermetic CPU backend with 8 virtual devices.
+
+The reference's tests require the real GPU (`SURVEY.md §4`); ours are
+hermetic by design — Pallas kernels run in interpreter mode on the CPU
+backend, and multi-chip sharding runs on a virtual 8-device CPU mesh
+(the thing the reference couldn't simulate).  Set MFA_TPU_TEST_REAL=1
+to run against real devices instead.
+"""
+
+import os
+
+if not os.environ.get("MFA_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        )
+    # A site plugin may have force-registered a hardware platform and
+    # overridden jax_platforms at interpreter startup; claw it back
+    # before any backend initializes.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,186 @@
+"""Forward kernel correctness vs the golden jnp model.
+
+Strategy per the reference (`SURVEY.md §4`): golden-model comparison on
+adversarial shapes including the reference's deliberately hostile cases
+D in {1, 2, 3, 34, 77, 95, 199} and N in {4, 9, 23, 25, 93, 777}
+(`SquareAttentionTest.swift:6-25`), plus mask/bias/window features the
+reference ships untested.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.ops.flash_attention import (
+    flash_attention_forward,
+)
+from metal_flash_attention_tpu.ops.reference import attention_reference
+from metal_flash_attention_tpu.utils.tolerances import (
+    fp32_kernel_tol,
+    max_abs_err,
+    tolerances_for,
+)
+
+
+def make_qkv(rng, shape_q, shape_kv, dtype=jnp.float32):
+    q = rng.standard_normal(shape_q, dtype=np.float32)
+    k = rng.standard_normal(shape_kv, dtype=np.float32)
+    v = rng.standard_normal(shape_kv, dtype=np.float32)
+    return (jnp.asarray(q, dtype), jnp.asarray(k, dtype), jnp.asarray(v, dtype))
+
+
+def golden_batched(q, k, v, **kw):
+    """vmap the single-head golden over (batch, heads) with GQA."""
+    b, hq, r, d = q.shape
+    _, hkv, c, _ = k.shape
+    group = hq // hkv
+    kk = jnp.repeat(k, group, axis=1)
+    vv = jnp.repeat(v, group, axis=1)
+    fn = lambda q2, k2, v2: attention_reference(
+        q2, k2, v2, return_residuals=True, **kw)
+    fn = jax.vmap(jax.vmap(fn))
+    return fn(q, kk, vv)
+
+
+# Adversarial (N, D) pairs, after the reference's list.
+ADVERSARIAL_SHAPES = [
+    (4, 1), (9, 2), (23, 3), (25, 34), (93, 77), (177, 95),
+    (777, 199), (128, 64), (256, 128), (1024, 64), (384, 256),
+]
+
+
+@pytest.mark.parametrize("n,d", ADVERSARIAL_SHAPES)
+def test_forward_square_fp32(rng, n, d):
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    o, lse = flash_attention_forward(q, k, v)
+    o_ref, lse_ref = golden_batched(q, k, v)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol(), (n, d)
+    assert max_abs_err(lse, lse_ref) < 1e-3, (n, d)
+
+
+@pytest.mark.parametrize("r,c,d", [
+    (128, 384, 64), (384, 128, 64), (100, 300, 80), (1, 257, 64),
+])
+def test_forward_rectangular(rng, r, c, d):
+    q, k, v = make_qkv(rng, (1, 1, r, d), (1, 1, c, d))
+    o, lse = flash_attention_forward(q, k, v)
+    o_ref, lse_ref = golden_batched(q, k, v)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+    assert max_abs_err(lse, lse_ref) < 1e-3
+
+
+@pytest.mark.parametrize("r,c", [(256, 256), (250, 250), (128, 384), (384, 128)])
+def test_forward_causal(rng, r, c):
+    q, k, v = make_qkv(rng, (1, 1, r, 64), (1, 1, c, 64))
+    o, _ = flash_attention_forward(q, k, v, causal=True)
+    o_ref = golden_batched(q, k, v, causal=True)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+@pytest.mark.parametrize("window", [1, 17, 128, 1000])
+def test_forward_sliding_window(rng, window):
+    n, d = 300, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    o, _ = flash_attention_forward(q, k, v, causal=True, window_size=window)
+    o_ref = golden_batched(q, k, v, causal=True, window_size=window)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_external_mask(rng):
+    n, d = 200, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    mask = jnp.asarray(rng.random((1, 1, n, n)) > 0.3)
+    o, lse = flash_attention_forward(q, k, v, mask=mask)
+    o_ref, lse_ref = golden_batched(q, k, v, mask=mask)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_fully_masked_rows(rng):
+    # Rows with no visible columns must produce O = 0, L = -inf.
+    n, d = 130, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    mask = np.ones((1, 1, n, n), bool)
+    mask[:, :, 5, :] = False
+    mask[:, :, 129, :] = False
+    o, lse = flash_attention_forward(q, k, v, mask=jnp.asarray(mask))
+    assert np.allclose(np.asarray(o)[0, 0, 5], 0.0)
+    assert np.allclose(np.asarray(o)[0, 0, 129], 0.0)
+    assert np.isneginf(np.asarray(lse)[0, 0, 5])
+    o_ref = golden_batched(q, k, v, mask=jnp.asarray(mask))[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_bias(rng):
+    n, d = 150, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    bias = jnp.asarray(rng.standard_normal((1, 1, n, n)), jnp.float32)
+    o, _ = flash_attention_forward(q, k, v, bias=bias)
+    o_ref = golden_batched(q, k, v, bias=bias)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_bias_head_broadcast(rng):
+    b, h, n, d = 2, 4, 64, 64
+    q, k, v = make_qkv(rng, (b, h, n, d), (b, h, n, d))
+    bias = jnp.asarray(rng.standard_normal((1, 1, n, n)), jnp.float32)
+    o, _ = flash_attention_forward(q, k, v, bias=bias)
+    o_ref = golden_batched(q, k, v, bias=bias[0, 0])[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_batched_heads(rng):
+    b, h, n, d = 3, 5, 100, 64
+    q, k, v = make_qkv(rng, (b, h, n, d), (b, h, n, d))
+    o, lse = flash_attention_forward(q, k, v)
+    o_ref, lse_ref = golden_batched(q, k, v)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+    assert max_abs_err(lse, lse_ref) < 1e-3
+
+
+def test_forward_gqa(rng):
+    b, hq, hkv, n, d = 2, 8, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((b, hq, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    o, _ = flash_attention_forward(q, k, v)
+    o_ref = golden_batched(q, k, v)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_bf16(rng):
+    n, d = 256, 128
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d), jnp.bfloat16)
+    o, lse = flash_attention_forward(q, k, v)
+    o_ref, lse_ref = golden_batched(q, k, v)
+    tol = tolerances_for(jnp.bfloat16)
+    assert max_abs_err(o, o_ref) < tol.o
+    assert max_abs_err(lse, lse_ref) < tol.lse * 10
+
+
+def test_forward_oob_canary(rng):
+    """OOB-read canary, after `MTLContext+Buffers.swift:10-18`: embed
+    the logical problem in a larger buffer poisoned with garbage; a
+    kernel that reads past the logical extent changes its output."""
+    n, d = 100, 60
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    o_clean, _ = flash_attention_forward(q, k, v)
+
+    poison = 1e30
+    qbig = jnp.full((1, 1, n + 64, d + 32), poison, jnp.float32)
+    kbig = jnp.full((1, 1, n + 64, d + 32), poison, jnp.float32)
+    vbig = jnp.full((1, 1, n + 64, d + 32), poison, jnp.float32)
+    qbig = qbig.at[:, :, :n, :d].set(q)
+    kbig = kbig.at[:, :, :n, :d].set(k)
+    vbig = vbig.at[:, :, :n, :d].set(v)
+    o_sliced, _ = flash_attention_forward(
+        qbig[:, :, :n, :d], kbig[:, :, :n, :d], vbig[:, :, :n, :d])
+    assert max_abs_err(o_clean, o_sliced) == 0.0
+
+
+def test_forward_decode_shape(rng):
+    # Single-query decode against a long KV prefix.
+    q, k, v = make_qkv(rng, (1, 2, 1, 64), (1, 2, 777, 64))
+    o, _ = flash_attention_forward(q, k, v, causal=True)
+    o_ref = golden_batched(q, k, v, causal=True)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()

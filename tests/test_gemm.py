@@ -1,0 +1,89 @@
+"""GEMM kernel correctness.
+
+Two oracles, after the reference's test strategy:
+- the Laplacian closed-form check (`LaplacianTest.swift:137-148`):
+  A = periodic second-order Laplacian => each C row is
+  B[r-1] - 2 B[r] + B[r+1], verifiable in O(N^2) without a matmul;
+- adversarial random shapes with random transposes, precisions and
+  `loadPreviousC` (`AdversarialShapeTest.swift:7-337`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.ops.gemm import batched_gemm, gemm
+from metal_flash_attention_tpu.utils.tolerances import (
+    fp32_kernel_tol,
+    max_abs_err,
+)
+
+
+def laplacian(n: int) -> np.ndarray:
+    a = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    a[idx, idx] = -2.0
+    a[idx, (idx + 1) % n] = 1.0
+    a[idx, (idx - 1) % n] = 1.0
+    return a
+
+
+# Probe misalignment cliffs around block boundaries like the
+# reference's 511/512/513 probes (`LaplacianTest.swift:44-109`).
+@pytest.mark.parametrize("n", [7, 64, 127, 128, 129, 255, 256, 257])
+@pytest.mark.parametrize("ta,tb", [(False, False), (False, True),
+                                   (True, False), (True, True)])
+def test_gemm_laplacian(rng, n, ta, tb):
+    a_np = laplacian(n)
+    b_np = rng.standard_normal((n, n)).astype(np.float32)
+    a = jnp.asarray(a_np.T if ta else a_np)
+    b = jnp.asarray(b_np.T if tb else b_np)
+    out = gemm(a, b, transpose_a=ta, transpose_b=tb)
+    expected = np.roll(b_np, 1, 0) - 2 * b_np + np.roll(b_np, -1, 0)
+    assert max_abs_err(out, expected) < fp32_kernel_tol() * max(1, n // 64)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_gemm_adversarial(rng, trial):
+    r = np.random.default_rng(trial)
+    # Cubed-uniform small-biased sizes (AdversarialShapeTest.swift:12-16)
+    m, n, k = (int(r.uniform(0, 1) ** 3 * 500) + 1 for _ in range(3))
+    ta, tb = bool(r.integers(2)), bool(r.integers(2))
+    load_c = bool(r.integers(2))
+    a_np = r.standard_normal((m, k)).astype(np.float32)
+    b_np = r.standard_normal((k, n)).astype(np.float32)
+    c_np = r.standard_normal((m, n)).astype(np.float32) if load_c else None
+    a = jnp.asarray(a_np.T if ta else a_np)
+    b = jnp.asarray(b_np.T if tb else b_np)
+    c = jnp.asarray(c_np) if load_c else None
+    out = gemm(a, b, c, transpose_a=ta, transpose_b=tb)
+    expected = a_np @ b_np + (c_np if load_c else 0.0)
+    tol = fp32_kernel_tol() * max(1, k // 64)
+    assert max_abs_err(out, expected) < tol, (m, n, k, ta, tb, load_c)
+
+
+def test_gemm_bf16(rng):
+    m = n = k = 256
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+    out = gemm(a, b)
+    expected = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    assert max_abs_err(out, expected) / np.abs(expected).max() < 5e-2
+
+
+def test_gemm_mixed_precision(rng):
+    m = n = k = 128
+    a = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    out = gemm(a, b, out_dtype=jnp.float32)
+    expected = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+    assert max_abs_err(out, expected) / np.abs(expected).max() < 5e-3
+
+
+def test_batched_gemm(rng):
+    a = jnp.asarray(rng.standard_normal((3, 64, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3, 96, 72)), jnp.float32)
+    out = batched_gemm(a, b)
+    expected = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
+    assert max_abs_err(out, expected) < fp32_kernel_tol() * 2
