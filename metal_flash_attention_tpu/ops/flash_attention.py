@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.ops.quantization import QuantizedTensor
 from metal_flash_attention_tpu.utils.shapes import (
     round_up,
     pad_to,
@@ -101,6 +103,8 @@ def _make_fwd_kernel(
     needs_struct_mask: bool,
     out_dtype,
     precision=None,
+    kv_precision=None,
+    group: int = 1,
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
@@ -110,6 +114,8 @@ def _make_fwd_kernel(
         q_ref = next(it)
         k_ref = next(it)
         v_ref = next(it)
+        k_scale_ref = next(it) if kv_precision is not None else None
+        v_scale_ref = next(it) if kv_precision is not None else None
         mask_ref = next(it) if has_mask else None
         bias_ref = next(it) if has_bias else None
         o_ref = next(it)
@@ -118,6 +124,8 @@ def _make_fwd_kernel(
         l_scr = next(it)
         acc_scr = next(it)
 
+        b_idx = pl.program_id(0)
+        h_idx = pl.program_id(1)
         i = pl.program_id(2)
         j = pl.program_id(3)
 
@@ -136,6 +144,15 @@ def _make_fwd_kernel(
         def _run():
             q = q_ref[0, 0]
             k = k_ref[0, 0]
+            if kv_precision is not None:
+                # In-kernel dequant after the VMEM load (reference:
+                # AttentionKernel+OuterProduct.swift:379-613).
+                from metal_flash_attention_tpu.ops.quantization import (
+                    dequant_block,
+                )
+                k = dequant_block(
+                    k, k_scale_ref[b_idx, h_idx // group],
+                    kv_precision, q.dtype)
             # S = Q K^T, accumulated in FP32 on the MXU, with
             # log2(e)/sqrt(D) folded in (exp2 trick).
             s = jax.lax.dot_general(
@@ -188,6 +205,13 @@ def _make_fwd_kernel(
             l_scr[...] = l_next
 
             v = v_ref[0, 0]
+            if kv_precision is not None:
+                from metal_flash_attention_tpu.ops.quantization import (
+                    dequant_block,
+                )
+                v = dequant_block(
+                    v, v_scale_ref[b_idx, h_idx // group],
+                    kv_precision, q.dtype)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -246,8 +270,24 @@ def flash_attention_forward(
         (o [batch, q_heads, q_len, head_dim], lse [batch, q_heads, q_len])
         with lse the natural-log row logsumexp of scaled logits.
     """
+    # Quantized KV cache: unwrap payload + per-(batch, head) scales
+    # (reference: quantizedKV descriptor flag, uchar* K/V + K_scale/
+    # V_scale buffers, AttentionKernel+Source.swift:216-291).
+    kv_precision = None
+    k_scales = v_scales = None
+    if isinstance(k, QuantizedTensor):
+        assert isinstance(v, QuantizedTensor), "K and V must both be quantized"
+        assert v.precision == k.precision
+        kv_precision = k.precision
+        k_scales, v_scales = k.scales, v.scales
+        k, v = k.values, v.values
+    is_nf4 = (kv_precision is not None
+              and kv_precision == OperandPrecision.NF4)
+
     batch, q_heads, q_len, head_dim = q.shape
     _, kv_heads, kv_len, _ = k.shape
+    if is_nf4:
+        head_dim = q.shape[-1]  # payload holds head_dim // 2 bytes
     assert q_heads % kv_heads == 0, (q_heads, kv_heads)
     group = q_heads // kv_heads
     if scale is None:
@@ -257,15 +297,37 @@ def flash_attention_forward(
 
     # Pad to block/lane multiples; the kernel masks padded KV columns
     # and padded head-dim lanes are zeros (contribute nothing).
-    d_pad = round_up(head_dim, MIN_LANES)
+    # NF4 packs two elements per byte along D, so the logical head dim
+    # must pad to 256 for the packed lane dim to stay 128-aligned.
+    d_pad = round_up(head_dim, 2 * MIN_LANES if is_nf4 else MIN_LANES)
+    d_kv = d_pad // 2 if is_nf4 else d_pad
     block_q = max(min(block_q, round_up(q_len, MIN_LANES)), MIN_LANES)
     block_kv = max(min(block_kv, round_up(kv_len, MIN_LANES)), MIN_LANES)
     r_pad = round_up(q_len, block_q)
     c_pad = round_up(kv_len, block_kv)
 
-    qp = pad_to(q, (batch, q_heads, r_pad, d_pad))
-    kp = pad_to(k, (batch, kv_heads, c_pad, d_pad))
-    vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
+    if is_nf4:
+        # The split-half NF4 layout unpacks payload byte j to elements
+        # (j, j + W) where W is the *padded* payload width.  Keep the
+        # math consistent under padding by (a) padding the payload with
+        # 0x77 — both nibbles index the codebook's exact 0.0 — and
+        # (b) re-arranging Q's lanes into the same two-halves layout;
+        # O comes back in that layout and is un-shuffled below.
+        half = head_dim // 2
+        pad_w = d_kv - k.shape[-1]
+        pad_c = c_pad - kv_len
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_c), (0, pad_w)),
+                     constant_values=0x77)
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_c), (0, pad_w)),
+                     constant_values=0x77)
+        zpad = jnp.zeros(q.shape[:-1] + (d_kv - half,), q.dtype)
+        q_shuf = jnp.concatenate(
+            [q[..., :half], zpad, q[..., half:], zpad], axis=-1)
+        qp = pad_to(q_shuf, (batch, q_heads, r_pad, d_pad))
+    else:
+        qp = pad_to(q, (batch, q_heads, r_pad, d_pad))
+        kp = pad_to(k, (batch, kv_heads, c_pad, d_kv))
+        vp = pad_to(v, (batch, kv_heads, c_pad, d_kv))
 
     has_mask = mask is not None
     has_bias = bias is not None
@@ -278,12 +340,19 @@ def flash_attention_forward(
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d_pad),
                      lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_pad),
+        pl.BlockSpec((1, 1, block_kv, d_kv),
                      lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_pad),
+        pl.BlockSpec((1, 1, block_kv, d_kv),
                      lambda b, h, i, j, g=group: (b, h // g, j, 0)),
     ]
     inputs = [qp, kp, vp]
+    if kv_precision is not None:
+        # Whole scales array resident in SMEM, indexed by program ids
+        # (a tiled (1,1) SMEM block violates the TPU tile constraint).
+        scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [scale_spec, scale_spec]
+        inputs += [k_scales.astype(jnp.float32),
+                   v_scales.astype(jnp.float32)]
 
     def _aux_spec(a):
         # Broadcast batch/head dims of size 1.
@@ -316,7 +385,7 @@ def flash_attention_forward(
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_bias=has_bias,
         needs_struct_mask=needs_struct_mask, out_dtype=out_dtype,
-        precision=precision,
+        precision=precision, kv_precision=kv_precision, group=group,
     )
 
     o, lse = pl.pallas_call(
@@ -346,6 +415,11 @@ def flash_attention_forward(
         interpret=interpret,
     )(*inputs)
 
+    if is_nf4:
+        half = head_dim // 2
+        o = jnp.concatenate(
+            [o[..., :half], o[..., d_kv:d_kv + half]], axis=-1)
+        return o[:, :, :q_len, :], lse[:, :, 0, :q_len]
     return o[:, :, :q_len, :head_dim], lse[:, :, 0, :q_len]
 
 
@@ -377,6 +451,17 @@ def flash_attention(
     backward pass uses the reference's atomic-free two-kernel split
     (dQ kernel over rows, dK/dV kernel over columns; README.md:39-46).
     """
+    if isinstance(k, QuantizedTensor):
+        # Serving path: quantized KV caches are not differentiated
+        # (the reference likewise only generates forward kernels for
+        # quantized KV).
+        o, lse = flash_attention_forward(
+            q, k, v, causal=causal, window_size=window_size, mask=mask,
+            bias=bias, scale=scale, block_q=block_q, block_kv=block_kv,
+            interpret=interpret,
+        )
+        return (o, lse) if return_residuals else o
+
     from metal_flash_attention_tpu.ops.flash_attention_bwd import (
         _flash_attention_vjp,
     )

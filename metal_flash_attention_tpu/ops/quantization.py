@@ -1,0 +1,153 @@
+"""KV-cache quantization: FP8-E4M3 / FP8-E5M2 / INT8 / NF4.
+
+TPU-native analog of the reference's quantization layer
+(`Utilities/QuantizationUtilities.swift:14-128` — MSL dequant snippets;
+`AttentionKernel+OuterProduct.swift:379-613` — in-kernel dequant of the
+RHS operand; scales fetched per batch*head at buffers 20/21,
+`AttentionKernel+Source.swift:216-291`).
+
+Deliberate deviation (SURVEY.md §7.4): the reference's "FP8" is a
+*linear* code with zero-point 128, not IEEE FP8
+(`QuantizationUtilities.swift:11-13`).  TPU has native
+`float8_e4m3fn`/`float8_e5m2` dtypes that the MXU and VPU understand,
+so we use the real bit layouts.  INT8 is symmetric (no zero point,
+matching the reference's signed path `uint8_to_half_signed`).  NF4 is
+the same 16-value normal-float codebook, nibble-packed two-per-byte
+along the head dimension (`QuantizationUtilities.swift:65-91`).
+
+Scales are per (batch, head) — the reference's granularity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+
+# The NF4 codebook: 16 quantiles of a standard normal, normalized to
+# [-1, 1] (same table the reference embeds,
+# QuantizationUtilities.swift:69-76).
+NF4_CODEBOOK = (
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534,
+    0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
+    0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0,
+)  # Python floats: jnp constants would be captured by the kernel tracer
+
+
+class QuantizedTensor(NamedTuple):
+    """A quantized KV operand: payload + per-(batch, head) scale.
+
+    values: [batch, heads, seq, head_dim] in the storage dtype
+        (NF4: [batch, heads, seq, head_dim // 2] nibble-packed uint8).
+    scales: [batch, heads] float32 dequantization scale.
+    precision: which scheme (drives the in-kernel dequant path).
+    """
+    values: jax.Array
+    scales: jax.Array
+    precision: OperandPrecision
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedTensor,
+    lambda t: ((t.values, t.scales), t.precision),
+    lambda prec, children: QuantizedTensor(*children, prec),
+)
+
+
+def _absmax_scale(x: jax.Array, target_max: float) -> jax.Array:
+    """Per-(batch, head) scale so payload fits the target range."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(-1, -2))
+    return jnp.maximum(absmax, 1e-12) / target_max
+
+
+def quantize(x: jax.Array, precision: OperandPrecision) -> QuantizedTensor:
+    """Quantize [batch, heads, seq, head_dim] for the KV cache."""
+    x32 = x.astype(jnp.float32)
+    if precision is OperandPrecision.INT8:
+        scale = _absmax_scale(x32, 127.0)
+        q = jnp.round(x32 / scale[:, :, None, None])
+        q = jnp.clip(q, -127, 127).astype(jnp.int8)
+        return QuantizedTensor(q, scale, precision)
+    if precision in (OperandPrecision.FP8_E4M3, OperandPrecision.FP8_E5M2):
+        # Native FP8: scale into the format's dynamic range, cast.
+        fmax = 448.0 if precision is OperandPrecision.FP8_E4M3 else 57344.0
+        scale = _absmax_scale(x32, fmax)
+        q = (x32 / scale[:, :, None, None]).astype(precision.storage_dtype)
+        return QuantizedTensor(q, scale, precision)
+    if precision is OperandPrecision.NF4:
+        assert x.shape[-1] % 2 == 0, "NF4 packs 2 values/byte along D"
+        scale = _absmax_scale(x32, 1.0)
+        normalized = x32 / scale[:, :, None, None]
+        # Nearest codebook index (codebook is sorted: searchsorted on
+        # midpoints).
+        codebook = jnp.asarray(NF4_CODEBOOK, jnp.float32)
+        midpoints = (codebook[1:] + codebook[:-1]) / 2.0
+        idx = jnp.searchsorted(midpoints, normalized).astype(jnp.uint8)
+        # Split-half layout: byte j packs elements j (low nibble) and
+        # j + D/2 (high nibble).  Unlike the reference's interleaved
+        # nibble pairs (`nf4_to_half2`), unpacking this layout is a
+        # lane-dim concat — free on the VPU, where an interleave would
+        # be a relayout.
+        half = x.shape[-1] // 2
+        lo = idx[..., :half]
+        hi = idx[..., half:]
+        packed = (lo | (hi << 4)).astype(jnp.uint8)
+        return QuantizedTensor(packed, scale, precision)
+    raise ValueError(f"not a quantized precision: {precision}")
+
+
+def dequantize(t: QuantizedTensor) -> jax.Array:
+    """Host-side dequantization (the golden path for testing the
+    in-kernel dequant)."""
+    s = t.scales[:, :, None, None]
+    if t.precision is OperandPrecision.NF4:
+        return nf4_unpack(t.values) * s
+    return t.values.astype(jnp.float32) * s
+
+
+def nf4_unpack(packed: jax.Array) -> jax.Array:
+    """Unpack split-half NF4 to float32 via the codebook.
+
+    Kernel-safe: bit ops, a lane-dim concat, and a 16-way select chain
+    (the VPU analog of the reference's generated `nf4_to_half2`
+    function, QuantizationUtilities.swift:78-91) — no gathers, no
+    relayouts.
+    """
+    # Bit ops in int32: Mosaic has no direct uint8 -> float32 cast.
+    p32 = packed.astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
+    idx = jnp.concatenate([lo, hi], axis=-1)
+    return nf4_codebook_lookup(idx)
+
+
+def nf4_codebook_lookup(idx: jax.Array) -> jax.Array:
+    # Arithmetic accumulation instead of a select chain: `where` with a
+    # splat scalar against a loaded-data i1 vector trips a Mosaic
+    # relayout ("{0,0} -> {*,*}"); multiply-accumulate of the 0/1
+    # indicator does not, and is the same 16 VPU ops.
+    idx32 = idx.astype(jnp.int32)
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for i in range(16):
+        indicator = (idx32 == i).astype(jnp.float32)
+        out = out + indicator * NF4_CODEBOOK[i]
+    return out
+
+
+def dequant_block(vals: jax.Array, scale, precision: OperandPrecision,
+                  compute_dtype) -> jax.Array:
+    """In-kernel dequantization of one KV block (the TPU analog of the
+    reference's per-tile dequant in the outer-product/accumulate
+    generators, AttentionKernel+OuterProduct.swift:379-613).
+
+    ``scale`` is the per-(batch, head) scalar read from SMEM
+    (reference: scale fetched per batch_head_idx from buffers 20/21).
+    """
+    if precision is OperandPrecision.NF4:
+        return (nf4_unpack(vals) * scale).astype(compute_dtype)
+    return (vals.astype(jnp.float32) * scale).astype(compute_dtype)

@@ -1,0 +1,113 @@
+"""Head/data-parallel sharded attention over a device mesh.
+
+The zero-communication tier of distribution: batch shards over the
+data axis, query heads (with co-located GQA KV heads) over the heads
+axis.  Each device runs the local fused kernel; no collectives are
+needed during attention itself — communication happens later in the
+output projection (`jax.lax.psum` there, not here).
+
+Also provides context-parallel attention ("approach 2"): each device
+computes partial attention over its KV shard and the partials are
+merged with the online-softmax combine across chips (pmax + psum) —
+the reference's in-kernel (m, l, O) merge
+(`AttentionKernel+Softmax.swift:524-581`) lifted to the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from metal_flash_attention_tpu.ops.flash_attention import (
+    flash_attention_forward,
+)
+from metal_flash_attention_tpu.parallel.mesh import (
+    CONTEXT_AXIS,
+    DATA_AXIS,
+    HEAD_AXIS,
+)
+
+
+def sharded_flash_attention(
+    mesh: Mesh,
+    *,
+    causal: bool = False,
+    window_size: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+):
+    """Head+data-parallel fused attention.
+
+    Returns a jitted callable (q, k, v) -> o with
+    q: [batch, q_heads, n, d] sharded P(data, heads);
+    k/v: [batch, kv_heads, n, d] sharded P(data, heads) (GQA co-located).
+    """
+    spec = P(DATA_AXIS, HEAD_AXIS, None, None)
+
+    def local(q, k, v):
+        o, _ = flash_attention_forward(
+            q, k, v, causal=causal, window_size=window_size, scale=scale,
+            block_q=block_q, block_kv=block_kv,
+        )
+        return o
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    ))
+
+
+def _merge_partials(o_local, lse_local, axis_name):
+    """Cross-chip online-softmax combine: merge per-shard partial
+    attention (o_i, lse_i) into the exact global result.
+
+    o = sum_i o_i * exp(lse_i - lse_total);  lse_total = log sum_i e^lse_i.
+    This is the associative (m, l, O) merge with (m, l) folded into the
+    logsumexp.
+    """
+    m_global = jax.lax.pmax(lse_local, axis_name=axis_name)
+    # Guard fully-masked shards (lse = -inf).
+    m_safe = jnp.where(jnp.isfinite(m_global), m_global, 0.0)
+    w = jnp.exp(jnp.where(jnp.isfinite(lse_local),
+                          lse_local - m_safe, -jnp.inf))
+    l_global = jax.lax.psum(w, axis_name=axis_name)
+    o_global = jax.lax.psum(o_local * w[..., None], axis_name=axis_name)
+    safe_l = jnp.where(l_global == 0.0, 1.0, l_global)
+    return o_global / safe_l[..., None]
+
+
+def context_parallel_attention(
+    mesh: Mesh,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+):
+    """KV-sequence-sharded attention with cross-chip softmax combine.
+
+    q replicated over the context axis; k/v sharded on their sequence
+    dim.  Each chip computes partial attention over its KV shard; the
+    partials are merged with pmax+psum.  Communication per query
+    position is O(d_head + 1) — independent of context length.
+    """
+    q_spec = P(DATA_AXIS, HEAD_AXIS, None, None)
+    kv_spec = P(DATA_AXIS, HEAD_AXIS, CONTEXT_AXIS, None)
+
+    def local(q, k_shard, v_shard):
+        o_i, lse_i = flash_attention_forward(
+            q, k_shard, v_shard, scale=scale,
+            block_q=block_q, block_kv=block_kv,
+        )
+        return _merge_partials(
+            o_i.astype(jnp.float32), lse_i, CONTEXT_AXIS).astype(q.dtype)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
+        out_specs=q_spec, check_rep=False,
+    ))
