@@ -1,0 +1,167 @@
+"""Benchmark: attention throughput in GINSTRS/s under the reference's
+work model (fwd (2D+5)N², bwd-dQ (3D+5)N², bwd-dKV (4D+5)N², combined
+9D+15 — `README.md:41-46, 108-124` of the reference).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the ratio against the reference's published headline —
+4400 GINSTRS/s sustained mixed-precision attention on M1 Max
+(`/root/reference/README.md:15`).
+
+Timing methodology: this environment reaches the TPU through a network
+tunnel with ~30 ms dispatch round-trip, and `block_until_ready` does
+not synchronize device completion.  Each measurement therefore loops
+the kernel ITERS times *inside one jit* (scalar carry defeats CSE),
+forces a scalar readback, and subtracts the independently measured
+round-trip floor.
+
+Detail table goes to stderr.  Roofline: GINSTRS = FLOPS/2, so a TPU
+v5e (197 TFLOP/s bf16) rooflines at ~98,500 GINSTRS/s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_HEADLINE_GINSTRS = 4400.0  # M1 Max, README.md:15
+
+# bf16 peak FLOP/s per chip by generation (public specs).
+PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5": 197e12,      # v5e ("v5 lite")
+    "v5p": 459e12,
+    "v6": 918e12,
+    "cpu": 1e12,
+}
+
+ITERS = 64
+
+
+def detect_peak() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key in ("v6", "v5p", "v5", "v4"):
+        if key in kind:
+            return PEAK_FLOPS[key]
+    return PEAK_FLOPS["cpu"]
+
+
+def measure_rtt() -> float:
+    """Dispatch + scalar-readback floor of this environment."""
+    f = jax.jit(lambda x: (x * 1.0).sum())
+    x = jnp.zeros((8, 128), jnp.float32)
+    for _ in range(3):
+        float(f(x))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timed_scalar(fn, *args, repeats=5) -> float:
+    """Best wall time of float(fn(*args))."""
+    for _ in range(2):
+        float(fn(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_attention(n: int, d: int, heads: int, *, rtt: float,
+                    causal=False, with_bwd=False, dtype=jnp.bfloat16):
+    from metal_flash_attention_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, heads, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((1, heads, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((1, heads, n, d)), dtype)
+
+    if with_bwd:
+        do = jnp.asarray(rng.standard_normal((1, heads, n, d)), dtype)
+
+        def one(q, k, v):
+            def loss(q, k, v):
+                return jnp.sum(
+                    (flash_attention(q, k, v, causal=causal) * do)
+                    .astype(jnp.float32))
+            g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            # Consume every gradient so no backward kernel is DCE'd.
+            return (g[0][0, 0, 0, :1].sum()
+                    + g[1][0, 0, 0, :1].sum()
+                    + g[2][0, 0, 0, :1].sum())
+
+        ginstrs = (9 * d + 15) * n * n * heads
+    else:
+        def one(q, k, v):
+            o = flash_attention(q, k, v, causal=causal)
+            return o[0, 0, 0, :1].astype(jnp.float32).sum()
+
+        ginstrs = (2 * d + 5) * n * n * heads
+    if causal:
+        ginstrs //= 2
+
+    @jax.jit
+    def run(q, k, v):
+        def body(c, _):
+            # The scalar carry perturbs q so iterations cannot be CSE'd.
+            s = one(q + c.astype(q.dtype), k, v)
+            return s.astype(jnp.float32) * 0.0, ()
+        c, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=ITERS)
+        return c
+
+    total = timed_scalar(run, q, k, v)
+    per_call = max((total - rtt) / ITERS, 1e-9)
+    return ginstrs / per_call / 1e9  # GINSTRS/s
+
+
+def main():
+    backend = jax.default_backend()
+    peak = detect_peak()
+    roofline_ginstrs = peak / 2 / 1e9
+    rtt = measure_rtt()
+
+    rows = []
+    headline = None
+    for d in (64, 128, 256):
+        n = 4096 if d <= 128 else 2048
+        heads = 8
+        fwd = bench_attention(n, d, heads, rtt=rtt)
+        fwd_bwd = bench_attention(n, d, heads, rtt=rtt, with_bwd=True)
+        rows.append((d, n, fwd, fwd / roofline_ginstrs,
+                     fwd_bwd, fwd_bwd / roofline_ginstrs))
+        if d == 128:
+            headline = fwd
+
+    print(f"# backend={backend} device={jax.devices()[0].device_kind} "
+          f"roofline={roofline_ginstrs:.0f} GINSTRS/s rtt={rtt*1e3:.1f}ms",
+          file=sys.stderr)
+    print("#  D     N      fwd GINSTRS/s  util   fwd+bwd     util",
+          file=sys.stderr)
+    for d, n, f, fu, b, bu in rows:
+        print(f"# {d:4d} {n:5d} {f:12.0f} {fu:6.1%} {b:10.0f} {bu:6.1%}",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "attention_fwd_ginstrs_per_s_d128_n4096_bf16",
+        "value": round(headline, 1),
+        "unit": "GINSTRS/s",
+        "vs_baseline": round(headline / REFERENCE_HEADLINE_GINSTRS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,37 +46,38 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
     "forward": {
         "fp32": {
             "default": (
-                ParameterRow(128, 256, 512),
-                ParameterRow(256, 128, 512),
-                ParameterRow(8192, 128, 256),
+                ParameterRow(128, 512, 1024),
+                ParameterRow(8192, 256, 512),
             ),
         },
         "mixed": {
+            # Measured on TPU v5e (N=4096, bf16): D<=64 -> 38% roofline
+            # (hardware-bound: 64-deep MXU contraction), D=128 -> 70%,
+            # D=256 -> 68%.  Autotuned via runtime.autotune.
             "default": (
-                ParameterRow(128, 256, 1024),
-                ParameterRow(256, 256, 512),
-                ParameterRow(8192, 128, 256),
+                ParameterRow(64, 1024, 1024),
+                ParameterRow(128, 1024, 1024),
+                ParameterRow(256, 512, 1024),
+                ParameterRow(8192, 256, 512),
             ),
         },
     },
     "backward_query": {
         "fp32": {"default": (
-            ParameterRow(256, 128, 256),
-            ParameterRow(8192, 128, 128),
+            ParameterRow(8192, 256, 512),
         )},
         "mixed": {"default": (
-            ParameterRow(256, 128, 512),
-            ParameterRow(8192, 128, 256),
+            ParameterRow(128, 512, 1024),
+            ParameterRow(8192, 256, 512),
         )},
     },
     "backward_key_value": {
         "fp32": {"default": (
-            ParameterRow(256, 128, 128),
-            ParameterRow(8192, 128, 128),
+            ParameterRow(8192, 256, 512),
         )},
         "mixed": {"default": (
-            ParameterRow(256, 256, 128),
-            ParameterRow(8192, 128, 128),
+            ParameterRow(128, 512, 1024),
+            ParameterRow(8192, 256, 512),
         )},
     },
 }

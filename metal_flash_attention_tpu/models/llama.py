@@ -1,0 +1,237 @@
+"""Llama-3-style transformer on the fused attention kernels.
+
+Functional JAX (pure pytree params, no framework dependency): RMSNorm,
+rotary embeddings, GQA attention via
+`metal_flash_attention_tpu.ops.flash_attention`, SwiGLU MLP.
+
+Sharding model (BASELINE config 5: "Llama-3-8B-style attention layer"):
+- data axis: batch (DP)
+- heads axis: attention heads + MLP hidden (TP); GQA KV heads
+  co-located with their query-head group, so attention itself is
+  communication-free; the O/down projections psum over TP
+- context axis: sequence (SP/ring) for long context
+
+All matmuls are jnp einsums under `jit` — XLA lays collectives from
+sharding constraints; only the attention core is an explicit Pallas
+kernel (wrapped in shard_map when a mesh is given).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from metal_flash_attention_tpu.ops.flash_attention import flash_attention
+from jax import shard_map
+
+from metal_flash_attention_tpu.parallel.mesh import (
+    DATA_AXIS,
+    HEAD_AXIS,
+)
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    hidden_dim: int = 14336
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: object = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        """Test-scale config."""
+        defaults = dict(vocab_size=256, dim=128, n_layers=2, n_heads=4,
+                        n_kv_heads=2, hidden_dim=256)
+        defaults.update(kw)
+        return LlamaConfig(**defaults)
+
+    @staticmethod
+    def llama3_8b(**kw) -> "LlamaConfig":
+        return LlamaConfig(**kw)
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
+    """Initialize a parameter pytree (truncated-normal fan-in)."""
+    keys = jax.random.split(rng, cfg.n_layers + 2)
+
+    def dense(key, shape):
+        fan_in = shape[0]
+        return (jax.random.normal(key, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "wq": dense(ks[0], (cfg.dim, cfg.n_heads * cfg.head_dim)),
+            "wk": dense(ks[1], (cfg.dim, cfg.n_kv_heads * cfg.head_dim)),
+            "wv": dense(ks[2], (cfg.dim, cfg.n_kv_heads * cfg.head_dim)),
+            "wo": dense(ks[3], (cfg.n_heads * cfg.head_dim, cfg.dim)),
+            "w_gate": dense(ks[4], (cfg.dim, cfg.hidden_dim)),
+            "w_up": dense(ks[5], (cfg.dim, cfg.hidden_dim)),
+            "w_down": dense(ks[6], (cfg.hidden_dim, cfg.dim)),
+            "attn_norm": jnp.ones((cfg.dim,), jnp.float32),
+            "mlp_norm": jnp.ones((cfg.dim,), jnp.float32),
+        })
+    return {
+        "embed": dense(keys[-2], (cfg.vocab_size, cfg.dim)),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+        "lm_head": dense(keys[-1], (cfg.dim, cfg.vocab_size)),
+    }
+
+
+def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> dict:
+    """Tensor-parallel parameter shardings over the heads axis."""
+    col = NamedSharding(mesh, P(None, HEAD_AXIS))   # column-parallel
+    row = NamedSharding(mesh, P(HEAD_AXIS, None))   # row-parallel
+    rep = NamedSharding(mesh, P())
+    layer = {
+        "wq": col, "wk": col, "wv": col, "wo": row,
+        "w_gate": col, "w_up": col, "w_down": row,
+        "attn_norm": rep, "mlp_norm": rep,
+    }
+    return {
+        "embed": rep,
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": rep,
+        "lm_head": col,
+    }
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def rope_frequencies(cfg: LlamaConfig, positions: jax.Array):
+    """positions [..., seq] -> (cos, sin) [..., seq, head_dim/2]."""
+    half = cfg.head_dim // 2
+    freqs = cfg.rope_theta ** (
+        -jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [batch, heads, seq, head_dim]; rotate pairs (split-half)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[:, None, :, :]
+    s = sin[:, None, :, :]
+    return jnp.concatenate(
+        [x1 * c - x2 * s, x1 * s + x2 * c], axis=-1).astype(x.dtype)
+
+
+def attention_block(
+    layer: dict, x: jax.Array, cfg: LlamaConfig, cos, sin,
+    kv_cache: Optional[tuple] = None,
+    block_q: Optional[int] = None, block_kv: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """x: [batch, seq, dim] -> ([batch, seq, dim], new_kv).
+
+    With ``kv_cache = (k_prefix, v_prefix)`` runs decode: new K/V are
+    appended and attention spans the whole prefix (causal).
+    """
+    b, s, _ = x.shape
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q = (h @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = (h @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if kv_cache is not None:
+        k = jnp.concatenate([kv_cache[0], k], axis=2)
+        v = jnp.concatenate([kv_cache[1], v], axis=2)
+    if mesh is None:
+        o = flash_attention(
+            q, k, v, causal=True, block_q=block_q, block_kv=block_kv)
+    else:
+        # Pallas kernels do not SPMD-partition under pjit; run the
+        # attention core under shard_map over (data, heads).  GQA KV
+        # heads are co-located with their query-head group, so this is
+        # communication-free (SNIPPETS.md §1 pattern).
+        spec = P(DATA_AXIS, HEAD_AXIS, None, None)
+        attn = shard_map(
+            lambda q_, k_, v_: flash_attention(
+                q_, k_, v_, causal=True,
+                block_q=block_q, block_kv=block_kv),
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+        o = attn(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    return x + (o @ layer["wo"]).astype(x.dtype), (k, v)
+
+
+def mlp_block(layer: dict, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
+    h = rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+    up = (h @ layer["w_up"]).astype(jnp.float32)
+    return x + ((gate * up).astype(x.dtype) @ layer["w_down"]).astype(x.dtype)
+
+
+def forward(
+    params: dict, tokens: jax.Array, cfg: LlamaConfig,
+    *, positions: Optional[jax.Array] = None,
+    kv_caches: Optional[list] = None,
+    block_q: Optional[int] = None, block_kv: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    cos, sin = rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    new_caches = []
+    for i, layer in enumerate(params["layers"]):
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, kv = attention_block(
+            layer, x, cfg, cos, sin, kv_cache=cache,
+            block_q=block_q, block_kv=block_kv, mesh=mesh)
+        new_caches.append(kv)
+        x = mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_caches
+
+
+def loss_fn(params: dict, tokens: jax.Array, cfg: LlamaConfig,
+            **kw) -> jax.Array:
+    """Next-token cross-entropy (the training objective for the
+    full-train-step dryrun)."""
+    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def train_step(params: dict, tokens: jax.Array, cfg: LlamaConfig,
+               lr: float = 1e-4, **kw):
+    """One SGD step; returns (new_params, loss)."""
+    loss, grads = jax.value_and_grad(
+        lambda p: loss_fn(p, tokens, cfg, **kw))(params)
+    new_params = jax.tree.map(
+        lambda p, g: (p.astype(jnp.float32)
+                      - lr * g.astype(jnp.float32)).astype(p.dtype),
+        params, grads)
+    return new_params, loss

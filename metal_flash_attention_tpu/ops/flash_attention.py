@@ -39,6 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from metal_flash_attention_tpu.descriptors.parameters import (
+    select_block_sizes,
+)
 from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.ops.quantization import QuantizedTensor
 from metal_flash_attention_tpu.utils.shapes import (
@@ -248,8 +251,8 @@ def flash_attention_forward(
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Fused forward attention.
@@ -294,12 +297,26 @@ def flash_attention_forward(
         scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if block_q is None or block_kv is None:
+        # Resolve from the parameter tables (reference: row selection in
+        # AttentionDescriptor+Parameters.swift:41-66).
+        tq, tkv = select_block_sizes("forward", head_dim, q.dtype)
+        block_q = block_q or tq
+        block_kv = block_kv or tkv
 
     # Pad to block/lane multiples; the kernel masks padded KV columns
     # and padded head-dim lanes are zeros (contribute nothing).
     # NF4 packs two elements per byte along D, so the logical head dim
     # must pad to 256 for the packed lane dim to stay 128-aligned.
-    d_pad = round_up(head_dim, 2 * MIN_LANES if is_nf4 else MIN_LANES)
+    # Head dims below 128 that are sublane-aligned stay UNPADDED:
+    # Mosaic accepts a block whose lane extent equals the full array
+    # dim, and padding D=64 to 128 would double every MXU pass.
+    if is_nf4:
+        d_pad = round_up(head_dim, 2 * MIN_LANES)
+    elif head_dim < MIN_LANES and head_dim % 8 == 0:
+        d_pad = head_dim
+    else:
+        d_pad = round_up(head_dim, MIN_LANES)
     d_kv = d_pad // 2 if is_nf4 else d_pad
     block_q = max(min(block_q, round_up(q_len, MIN_LANES)), MIN_LANES)
     block_kv = max(min(block_kv, round_up(kv_len, MIN_LANES)), MIN_LANES)
@@ -440,8 +457,8 @@ def flash_attention(
     causal: bool = False,
     window_size: Optional[int] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
 ):

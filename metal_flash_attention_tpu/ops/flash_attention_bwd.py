@@ -50,6 +50,9 @@ from metal_flash_attention_tpu.ops.flash_attention import (
     _block_visible,
     flash_attention_forward,
 )
+from metal_flash_attention_tpu.descriptors.parameters import (
+    select_block_sizes,
+)
 from metal_flash_attention_tpu.utils.shapes import round_up, pad_to
 
 
@@ -246,7 +249,7 @@ def flash_attention_backward(
     q, k, v, do, o, lse,
     *,
     causal=False, window_size=None, mask=None, bias=None, scale=None,
-    block_q=128, block_kv=128, interpret=None, compute_dbias=False,
+    block_q=None, block_kv=None, interpret=None, compute_dbias=False,
 ):
     """Run both backward kernels; returns (dq, dk, dv[, dbias]).
 
@@ -261,6 +264,12 @@ def flash_attention_backward(
         scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if block_q is None or block_kv is None:
+        # Both backward kernels share one (block_q, block_kv) pair so
+        # they can share residual padding; take the dQ-kernel row.
+        tq, tkv = select_block_sizes("backward_query", head_dim, q.dtype)
+        block_q = block_q or tq
+        block_kv = block_kv or tkv
 
     d_pad = round_up(head_dim, MIN_LANES)
     block_q = max(min(block_q, round_up(q_len, MIN_LANES)), MIN_LANES)

@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from metal_flash_attention_tpu.ops.flash_attention import (
     flash_attention_forward,
@@ -105,8 +105,8 @@ def ring_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     return_residuals: bool = False,
 ):
     """Build a jitted ring-attention callable over ``mesh``'s context
@@ -129,5 +129,5 @@ def ring_attention(
     out_specs = (spec, lse_spec) if return_residuals else spec
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=out_specs, check_rep=False,
+        out_specs=out_specs, check_vma=False,
     ))

@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from metal_flash_attention_tpu.ops.flash_attention import (
     flash_attention_forward,
@@ -39,8 +39,8 @@ def sharded_flash_attention(
     causal: bool = False,
     window_size: Optional[int] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
 ):
     """Head+data-parallel fused attention.
 
@@ -59,7 +59,7 @@ def sharded_flash_attention(
 
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -86,8 +86,8 @@ def context_parallel_attention(
     mesh: Mesh,
     *,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
 ):
     """KV-sequence-sharded attention with cross-chip softmax combine.
 
@@ -109,5 +109,5 @@ def context_parallel_attention(
 
     return jax.jit(shard_map(
         local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
-        out_specs=q_spec, check_rep=False,
+        out_specs=q_spec, check_vma=False,
     ))

@@ -1,0 +1,75 @@
+"""Flagship model tests: forward, decode-with-cache consistency,
+training step, and the multichip dryrun on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shapes(setup):
+    cfg, params = setup
+    tokens = jnp.zeros((2, 64), jnp.int32)
+    logits, caches = llama.forward(params, tokens, cfg)
+    assert logits.shape == (2, 64, cfg.vocab_size)
+    assert len(caches) == cfg.n_layers
+    assert caches[0][0].shape == (2, cfg.n_kv_heads, 64, cfg.head_dim)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_decode_matches_prefill(setup):
+    """Token-by-token decode with KV cache must match full prefill."""
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32)
+
+    full_logits, _ = llama.forward(params, tokens, cfg)
+
+    # Prefill the first 8, then decode 8 tokens one at a time.
+    prefix, caches = llama.forward(params, tokens[:, :8], cfg)
+    outs = [prefix]
+    for t in range(8, 16):
+        pos = jnp.full((1, 1), t, jnp.int32)
+        step_logits, caches = llama.forward(
+            params, tokens[:, t:t + 1], cfg, positions=pos,
+            kv_caches=caches)
+        outs.append(step_logits)
+    decoded = jnp.concatenate(outs, axis=1)
+    err = float(jnp.max(jnp.abs(decoded - full_logits)))
+    assert err < 2e-2, err  # bf16 accumulation differences
+
+
+def test_train_step(setup):
+    cfg, params = setup
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 64)),
+        jnp.int32)
+    new_params, loss = llama.train_step(params, tokens, cfg)
+    assert bool(jnp.isfinite(loss))
+    # Parameters actually moved.
+    delta = float(jnp.max(jnp.abs(
+        new_params["lm_head"].astype(jnp.float32)
+        - params["lm_head"].astype(jnp.float32))))
+    assert delta > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    logits = jax.jit(fn)(*args)
+    assert bool(jnp.isfinite(logits).all())
