@@ -102,9 +102,21 @@ def select_block_sizes(
     dtype,
     *,
     generation: Optional[str] = None,
+    seq_len: Optional[int] = None,
 ) -> tuple[int, int]:
     """First-row-that-covers selection, like the reference's
-    `row(table:)` (AttentionDescriptor+Parameters.swift:41-66)."""
+    `row(table:)` (AttentionDescriptor+Parameters.swift:41-66).
+
+    A measured autotune winner in the runtime config cache takes
+    precedence over the static rows (reference: pipeline-cache early
+    return, GEMMDescriptor+PipelineCache.swift:25-27)."""
+    if seq_len is not None:
+        from metal_flash_attention_tpu.runtime.autotune import (
+            lookup_tuned_blocks,
+        )
+        tuned = lookup_tuned_blocks(kernel_type, head_dim, dtype, seq_len)
+        if tuned is not None:
+            return tuned
     regime = "fp32" if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else "mixed"
     gens = _TABLES[kernel_type][regime]
     gen = generation or tpu_generation()

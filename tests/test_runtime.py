@@ -1,0 +1,194 @@
+"""Runtime layer: device context, config cache, native (C++) store.
+
+Covers the TPU analogs of the reference's L0 runtime
+(`MTLContext.swift`), pipeline cache
+(`GEMMDescriptor+PipelineCache.swift`), C++ shader cache
+(`CppReference/GEMM/GEMMShaderCache.{hpp,cpp}`), and hash combinators
+(`ccv_nnc_mfa_hash.hpp`).
+"""
+
+import json
+import os
+import threading
+
+import jax.numpy as jnp
+import pytest
+
+from metal_flash_attention_tpu.runtime.cache import KernelConfigCache
+from metal_flash_attention_tpu.runtime.context import DeviceContext
+
+
+class TestDeviceContext:
+    def test_singleton(self):
+        assert DeviceContext.get() is DeviceContext.get()
+
+    def test_generation_parsing(self):
+        assert DeviceContext._parse_generation("TPU v5 lite") == "v5"
+        assert DeviceContext._parse_generation("TPU v5p") == "v5p"
+        assert DeviceContext._parse_generation("TPU v4") == "v4"
+        assert DeviceContext._parse_generation("cpu") == "cpu"
+
+    def test_work_model(self):
+        ctx = DeviceContext.get()
+        # fwd (2D+5)N^2, fwd+bwd (9D+15)N^2 (reference README.md:41-46).
+        assert ctx.attention_ginstrs(1024, 64) == (2 * 64 + 5) * 1024**2
+        assert ctx.attention_ginstrs(
+            1024, 64, with_backward=True) == (9 * 64 + 15) * 1024**2
+        assert ctx.attention_ginstrs(
+            1024, 64, causal=True) == (2 * 64 + 5) * 1024**2 / 2
+
+    def test_roofline_positive(self):
+        assert DeviceContext.get().roofline_ginstrs_per_s > 0
+
+
+class TestKernelConfigCache:
+    def test_insert_lookup_roundtrip(self, tmp_path):
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+        key = cache.attention_key("forward", 128, jnp.bfloat16,
+                                  q_len_bucket=4096, generation="v5")
+        assert cache.lookup(key) is None
+        cache.insert(key, (512, 1024))
+        assert cache.lookup(key) == (512, 1024)
+
+    def test_persistence(self, tmp_path):
+        path = str(tmp_path / "store.json")
+        c1 = KernelConfigCache(path)
+        key = c1.attention_key("forward", 64, jnp.float32,
+                               generation="v5")
+        c1.insert(key, (256, 512))
+        c2 = KernelConfigCache(path)
+        assert c2.lookup(key) == (256, 512)
+        with open(path) as f:
+            assert key in json.load(f)
+
+    def test_keys_distinguish_problems(self):
+        cache = KernelConfigCache.get()
+        keys = {
+            cache.attention_key("forward", 64, jnp.bfloat16,
+                                generation="v5"),
+            cache.attention_key("forward", 128, jnp.bfloat16,
+                                generation="v5"),
+            cache.attention_key("backward_query", 64, jnp.bfloat16,
+                                generation="v5"),
+            cache.attention_key("forward", 64, jnp.float32,
+                                generation="v5"),
+            cache.attention_key("forward", 64, jnp.bfloat16,
+                                generation="v4"),
+        }
+        assert len(keys) == 5
+
+    def test_gemm_keys(self):
+        cache = KernelConfigCache.get()
+        k1 = cache.gemm_key(512, 512, 512, jnp.bfloat16, False, False,
+                            generation="v5")
+        k2 = cache.gemm_key(512, 512, 512, jnp.bfloat16, True, False,
+                            generation="v5")
+        assert k1 != k2
+
+    def test_thread_safety(self, tmp_path):
+        """The reference's cache is documented not-thread-safe
+        (GEMMShaderCache.hpp:29-35); ours must survive concurrent use."""
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+
+        def writer(tid):
+            for i in range(50):
+                cache.insert(f"k{tid}-{i}", (128 * (tid + 1), 128),
+                             persist=False)
+
+        threads = [threading.Thread(target=writer, args=(t,))
+                   for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for tid in range(8):
+            for i in range(50):
+                assert cache.lookup(f"k{tid}-{i}") == (128 * (tid + 1), 128)
+
+
+class TestNativeStore:
+    @pytest.fixture(scope="class")
+    def store(self):
+        try:
+            from metal_flash_attention_tpu.native.config_store import (
+                ConfigStore,
+            )
+            return ConfigStore.get()
+        except Exception as e:
+            pytest.skip(f"native store unavailable: {e}")
+
+    def test_insert_lookup(self, store):
+        store.insert("test|native|a", (512, 1024))
+        assert store.lookup("test|native|a") == (512, 1024)
+        assert store.lookup("test|native|missing") is None
+
+    def test_overwrite(self, store):
+        store.insert("test|native|b", (128, 128))
+        store.insert("test|native|b", (256, 256))
+        assert store.lookup("test|native|b") == (256, 256)
+
+    def test_rejects_bad_input(self, store):
+        from metal_flash_attention_tpu.native.config_store import (
+            NativeError,
+        )
+        with pytest.raises(NativeError):
+            store.insert("test|native|c", (0, 128))
+
+    def test_hash_determinism_and_dispersion(self, store):
+        h1 = store.hash_bytes(b"attn|forward|d128|bfloat16|n4096|v5")
+        h2 = store.hash_bytes(b"attn|forward|d128|bfloat16|n4096|v5")
+        h3 = store.hash_bytes(b"attn|forward|d128|bfloat16|n4096|v4")
+        assert h1 == h2
+        assert h1 != h3
+        # Dispersion: hashes of near-identical keys differ in many bits.
+        assert bin(h1 ^ h3).count("1") > 16
+
+    def test_combine64(self, store):
+        a = store.combine64(1, 2)
+        b = store.combine64(2, 1)
+        assert a != b  # order-sensitive, like the reference's combine
+
+    def test_save_load(self, store, tmp_path):
+        path = str(tmp_path / "store.bin")
+        store.insert("test|native|persist", (2048, 512))
+        store.save(path)
+        assert os.path.getsize(path) > 8
+        store.load(path)  # merge back (idempotent)
+        assert store.lookup("test|native|persist") == (2048, 512)
+
+    def test_concurrent_insert_lookup(self, store):
+        errors = []
+
+        def worker(tid):
+            try:
+                for i in range(100):
+                    key = f"test|conc|{tid}|{i}"
+                    store.insert(key, (tid + 1, i + 1))
+                    assert store.lookup(key) == (tid + 1, i + 1)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+
+
+class TestTunedLookupIntegration:
+    def test_select_block_sizes_prefers_tuned(self, tmp_path, monkeypatch):
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+        monkeypatch.setattr(KernelConfigCache, "_instance", cache)
+        key = cache.attention_key(
+            "forward", 128, jnp.bfloat16, q_len_bucket=4096)
+        cache.insert(key, (640, 768))
+        got = parameters.select_block_sizes(
+            "forward", 128, jnp.bfloat16, seq_len=4096)
+        assert got == (640, 768)
+        # Without seq_len the static table is used.
+        got2 = parameters.select_block_sizes("forward", 128, jnp.bfloat16)
+        assert got2 != (640, 768)
