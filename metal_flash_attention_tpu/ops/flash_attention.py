@@ -122,12 +122,15 @@ def _last_visible_block(i, *, block_q, block_kv, causal, offset,
     return jnp.clip(last, 0, num_kv_blocks - 1)
 
 
-def _first_visible_block(i, *, block_q, block_kv, window_size, offset):
-    """Smallest visible KV block index (for sliding window)."""
+def _first_visible_block(i, *, block_q, block_kv, window_size, offset,
+                         num_kv_blocks):
+    """Smallest visible KV block index (for sliding window), clamped
+    into range — the index map is still evaluated for fully-skipped
+    blocks, so it must never go out of bounds."""
     if window_size is None:
         return 0
     first = (i * block_q + offset - window_size + 1) // block_kv
-    return jnp.maximum(first, 0)
+    return jnp.clip(first, 0, num_kv_blocks - 1)
 
 
 def _make_fwd_kernel(
@@ -476,7 +479,8 @@ def flash_attention_forward(
         if window_size is not None:
             jj = jnp.maximum(jj, _first_visible_block(
                 i, block_q=block_q, block_kv=block_kv,
-                window_size=window_size, offset=offset))
+                window_size=window_size, offset=offset,
+                num_kv_blocks=num_kv_blocks))
         return (b, h // g, jj, 0)
 
     in_specs = [

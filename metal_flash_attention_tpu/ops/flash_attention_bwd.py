@@ -24,6 +24,18 @@ cross-core accumulation would serialize.
 Work model parity: fwd (2D+5)N², dQ (3D+5)N², dK/dV (4D+5)N², total
 9D+15 (`README.md:41-46`).
 
+Performance structure (same playbook as the forward kernel, which see):
+- Q is pre-scaled by log2(e)·scale so no per-score multiply exists.
+- The softmax scale on dS is folded into the *final* dQ/dK store
+  (one [b, d] multiply per block strip instead of one per score).
+- Traversal blocks split into halves whose matmuls are emitted before
+  the VPU chains, letting Mosaic overlap MXU and VPU work.
+- Structural masks are one compare of a grid-invariant (cols − rows)
+  iota delta against a scalar threshold; no branches.  P for masked
+  elements underflows to exactly 0 via exp2(MASK − L), so no select
+  is needed on p at all (L is finite: fully-masked rows carry
+  L = −inf which is neutralized to 0 before use).
+
 D = rowsum(dO ⊙ O) is precomputed once on the host side (XLA fuses it)
 and shared by both kernels, like the reference's D operand written by
 backwardQuery and consumed by backwardKeyValue
@@ -46,8 +58,11 @@ from metal_flash_attention_tpu.ops.flash_attention import (
     LOG2E,
     MASK_VALUE,
     MIN_LANES,
+    PIPELINE_HALF,
     RESIDUAL_SUBLANES,
     _block_visible,
+    _first_visible_block,
+    _last_visible_block,
     flash_attention_forward,
 )
 from metal_flash_attention_tpu.descriptors.parameters import (
@@ -56,32 +71,16 @@ from metal_flash_attention_tpu.descriptors.parameters import (
 from metal_flash_attention_tpu.utils.shapes import round_up, pad_to
 
 
-def _struct_mask(
-    i, j, *, block_q, block_kv, causal, window_size, offset, kv_len,
-):
-    """Structural (iota-derived) boolean mask: padding/causal/window.
-    The loaded external mask is applied arithmetically instead (see the
-    forward kernel's gate; an i1 vector sourced from memory trips a
-    Mosaic relayout error when mixed with iota booleans)."""
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_kv), 0) + i * block_q
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_kv), 1) + j * block_kv
-    m = cols < kv_len
-    if causal:
-        m &= cols <= rows + offset
-    if window_size is not None:
-        m &= cols > rows + offset - window_size
-    return m
-
-
 def _make_dq_kernel(
-    *, block_q, block_kv, num_kv_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_bias, needs_struct_mask,
+    *, block_q, block_kv, num_halves, num_kv_blocks, q_len, kv_len, scale,
+    causal, window_size, has_mask, has_bias, kv_pad,
     emit_dbias, out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
+    half = block_kv // num_halves
+    needs_when = causal or window_size is not None
+    any_struct = causal or window_size is not None or kv_pad
 
     def kernel(*refs):
         it = iter(refs)
@@ -99,74 +98,117 @@ def _make_dq_kernel(
         def _init():
             dq_acc[...] = jnp.zeros_like(dq_acc)
 
-        should_run = _block_visible(
-            i, j, block_q=block_q, block_kv=block_kv, causal=causal,
-            window_size=window_size, offset=offset, kv_len=kv_len,
-        )
-
-        @pl.when(should_run)
-        def _run():
+        def body():
             q = q_ref[0, 0]
-            k = k_ref[0, 0]
-            v = v_ref[0, 0]
+            q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
             do = do_ref[0, 0].astype(jnp.float32)
             lse2 = lse_ref[0, 0, 0] * LOG2E        # [bq] natural -> base2
             # Fully-masked rows carry L = -inf; exp2(s - (-inf)) would
-            # poison the whole tile.  Their entries are already zeroed
-            # by the element mask, so neutralize the residual.
+            # poison the whole tile.  Their P entries must be zero, and
+            # with L neutralized to 0 they are: exp2(MASK - 0) = 0.
             lse2 = jnp.where(jnp.isfinite(lse2), lse2, 0.0)
             d_term = d_ref[0, 0, 0]                # [bq]
 
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) * scale_log2e
-            if has_bias:
-                s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
-            if needs_struct_mask:
-                em = _struct_mask(
-                    i, j, block_q=block_q, block_kv=block_kv,
-                    causal=causal, window_size=window_size, offset=offset,
-                    kv_len=kv_len,
-                )
-                s = jnp.where(em, s, MASK_VALUE)
-            if has_mask:
-                gate = jnp.minimum(
-                    jnp.abs(mask_ref[0, 0].astype(jnp.float32)), 1.0)
-                s = s + (gate - 1.0) * GATE_MAGNITUDE
-            # P = softmax probabilities recomputed from the L residual.
-            p = jnp.exp2(s - lse2[:, None])        # [bq, bkv]
-            dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            ds = p * (dp - d_term[:, None])        # natural units
-            if emit_dbias:
-                dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
-            dq_acc[...] += jax.lax.dot_general(
-                (ds * scale).astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            if any_struct:
+                delta = (jax.lax.broadcasted_iota(
+                             jnp.int32, (block_q, half), 1)
+                         - jax.lax.broadcasted_iota(
+                             jnp.int32, (block_q, half), 0))
+                col_static = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, half), 1)
 
-        if emit_dbias:
-            @pl.when(jnp.logical_not(should_run))
-            def _zero_dbias():
-                dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+            def struct_mask(u):
+                em = None
+                if causal:
+                    thr = i * block_q + offset - j * block_kv - u * half
+                    em = delta <= thr
+                if window_size is not None:
+                    thr_w = (i * block_q + offset - window_size
+                             - j * block_kv - u * half)
+                    em_w = delta > thr_w
+                    em = em_w if em is None else jnp.logical_and(em, em_w)
+                if kv_pad:
+                    em_p = col_static < kv_len - j * block_kv - u * half
+                    em = em_p if em is None else jnp.logical_and(em, em_p)
+                return em
+
+            # MXU batch: every half's S and dP products first.
+            ss, dps, gates = [], [], []
+            for u in range(num_halves):
+                ku = k_ref[0, 0, u * half:(u + 1) * half, :]
+                s = jax.lax.dot_general(
+                    q, ku, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                if has_bias:
+                    s += (bias_ref[0, 0, :, u * half:(u + 1) * half]
+                          .astype(jnp.float32) * LOG2E)
+                if has_mask:
+                    gate = jnp.minimum(jnp.abs(
+                        mask_ref[0, 0, :, u * half:(u + 1) * half]
+                        .astype(jnp.float32)), 1.0)
+                    s = s + (gate - 1.0) * GATE_MAGNITUDE
+                    gates.append(gate)
+                ss.append(s)
+                vu = v_ref[0, 0, u * half:(u + 1) * half, :]
+                dps.append(jax.lax.dot_general(
+                    do, vu.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ))
+
+            acc = dq_acc[...]
+            for u in range(num_halves):
+                s = ss[u]
+                em = struct_mask(u) if any_struct else None
+                if em is not None:
+                    s = jnp.where(em, s, MASK_VALUE)
+                # P recomputed from the L residual.
+                p = jnp.exp2(s - lse2[:, None])
+                if has_mask:
+                    p = p * gates[u]
+                ds = p * (dps[u] - d_term[:, None])    # natural units
+                if emit_dbias:
+                    dbias_ref[0, 0, :, u * half:(u + 1) * half] = (
+                        ds.astype(dbias_ref.dtype))
+                ku = k_ref[0, 0, u * half:(u + 1) * half, :]
+                acc += jax.lax.dot_general(
+                    ds.astype(ku.dtype), ku, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            dq_acc[...] = acc
+
+        if needs_when:
+            should_run = _block_visible(
+                i, j, block_q=block_q, block_kv=block_kv, causal=causal,
+                window_size=window_size, offset=offset, kv_len=kv_len,
+            )
+            pl.when(should_run)(body)
+            if emit_dbias:
+                @pl.when(jnp.logical_not(should_run))
+                def _zero_dbias():
+                    dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+        else:
+            body()
 
         @pl.when(j == num_kv_blocks - 1)
         def _store():
-            dq_ref[0, 0] = dq_acc[...].astype(out_dtype)
+            # The softmax scale lands here: one multiply per output
+            # strip instead of one per score element.
+            dq_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
 
     return kernel
 
 
 def _make_dkv_kernel(
-    *, block_q, block_kv, num_q_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_bias, needs_struct_mask,
+    *, block_q, block_kv, num_halves, num_q_blocks, q_len, kv_len, scale,
+    causal, window_size, has_mask, has_bias, kv_pad,
     out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
+    half = block_q // num_halves
+    needs_when = causal or window_size is not None
+    any_struct = causal or window_size is not None or kv_pad
 
     def kernel(*refs):
         it = iter(refs)
@@ -186,60 +228,101 @@ def _make_dkv_kernel(
             dk_acc[...] = jnp.zeros_like(dk_acc)
             dv_acc[...] = jnp.zeros_like(dv_acc)
 
+        def body():
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+
+            if any_struct:
+                # Halves split the *query rows* here, so the delta is
+                # (cols - rows) over a [half, block_kv] tile.
+                delta = (jax.lax.broadcasted_iota(
+                             jnp.int32, (half, block_kv), 1)
+                         - jax.lax.broadcasted_iota(
+                             jnp.int32, (half, block_kv), 0))
+                col_static = jax.lax.broadcasted_iota(
+                    jnp.int32, (half, block_kv), 1)
+
+            def struct_mask(u):
+                em = None
+                row0 = i * block_q + u * half
+                if causal:
+                    em = delta <= row0 + offset - j * block_kv
+                if window_size is not None:
+                    em_w = delta > row0 + offset - window_size - j * block_kv
+                    em = em_w if em is None else jnp.logical_and(em, em_w)
+                if kv_pad:
+                    em_p = col_static < kv_len - j * block_kv
+                    em = em_p if em is None else jnp.logical_and(em, em_p)
+                return em
+
+            ss, dps, gates, dos = [], [], [], []
+            for u in range(num_halves):
+                qu = q_ref[0, 0, u * half:(u + 1) * half, :]
+                qu = (qu.astype(jnp.float32) * scale_log2e).astype(qu.dtype)
+                s = jax.lax.dot_general(
+                    qu, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                if has_bias:
+                    s += (bias_ref[0, 0, u * half:(u + 1) * half, :]
+                          .astype(jnp.float32) * LOG2E)
+                if has_mask:
+                    gate = jnp.minimum(jnp.abs(
+                        mask_ref[0, 0, u * half:(u + 1) * half, :]
+                        .astype(jnp.float32)), 1.0)
+                    s = s + (gate - 1.0) * GATE_MAGNITUDE
+                    gates.append(gate)
+                ss.append(s)
+                dou = do_ref[0, 0, u * half:(u + 1) * half, :]
+                dos.append(dou)
+                dps.append(jax.lax.dot_general(
+                    dou.astype(jnp.float32), v.astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ))
+
+            dvacc = dv_acc[...]
+            dkacc = dk_acc[...]
+            for u in range(num_halves):
+                s = ss[u]
+                em = struct_mask(u) if any_struct else None
+                if em is not None:
+                    s = jnp.where(em, s, MASK_VALUE)
+                lse2 = lse_ref[0, 0, 0, u * half:(u + 1) * half] * LOG2E
+                lse2 = jnp.where(jnp.isfinite(lse2), lse2, 0.0)
+                d_term = d_ref[0, 0, 0, u * half:(u + 1) * half]
+                p = jnp.exp2(s - lse2[:, None])        # [half, bkv]
+                if has_mask:
+                    p = p * gates[u]
+                # dV += P^T dO: contraction over the row dimension
+                # replaces the reference's explicit S^T world.
+                dvacc += jax.lax.dot_general(
+                    p.astype(dos[u].dtype), dos[u],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                ds = p * (dps[u] - d_term[:, None])    # natural units
+                qu = q_ref[0, 0, u * half:(u + 1) * half, :]
+                dkacc += jax.lax.dot_general(
+                    ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+            dv_acc[...] = dvacc
+            dk_acc[...] = dkacc
+
         visible = _block_visible(
             i, j, block_q=block_q, block_kv=block_kv, causal=causal,
             window_size=window_size, offset=offset, kv_len=kv_len,
         )
-        should_run = jnp.logical_and(visible, i * block_q < q_len)
-
-        @pl.when(should_run)
-        def _run():
-            q = q_ref[0, 0]
-            k = k_ref[0, 0]
-            v = v_ref[0, 0]
-            do = do_ref[0, 0].astype(jnp.float32)
-            lse2 = lse_ref[0, 0, 0] * LOG2E
-            lse2 = jnp.where(jnp.isfinite(lse2), lse2, 0.0)
-            d_term = d_ref[0, 0, 0]
-
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) * scale_log2e
-            if has_bias:
-                s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
-            if needs_struct_mask:
-                em = _struct_mask(
-                    i, j, block_q=block_q, block_kv=block_kv,
-                    causal=causal, window_size=window_size, offset=offset,
-                    kv_len=kv_len,
-                )
-                s = jnp.where(em, s, MASK_VALUE)
-            if has_mask:
-                gate = jnp.minimum(
-                    jnp.abs(mask_ref[0, 0].astype(jnp.float32)), 1.0)
-                s = s + (gate - 1.0) * GATE_MAGNITUDE
-            p = jnp.exp2(s - lse2[:, None])        # [bq, bkv]
-            # dV += P^T dO: contraction over the row dimension replaces
-            # the reference's explicit S^T world.
-            dv_acc[...] += jax.lax.dot_general(
-                p.astype(do_ref.dtype), do_ref[0, 0],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            ds = (p * (dp - d_term[:, None]) * scale)
-            dk_acc[...] += jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+        if needs_when or q_len % block_q != 0:
+            should_run = jnp.logical_and(visible, i * block_q < q_len)
+            pl.when(should_run)(body)
+        else:
+            body()
 
         @pl.when(i == num_q_blocks - 1)
         def _store():
-            dk_ref[0, 0] = dk_acc[...].astype(out_dtype)
+            dk_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
             dv_ref[0, 0] = dv_acc[...].astype(out_dtype)
 
     return kernel
@@ -267,7 +350,8 @@ def flash_attention_backward(
     if block_q is None or block_kv is None:
         # Both backward kernels share one (block_q, block_kv) pair so
         # they can share residual padding; take the dQ-kernel row.
-        tq, tkv = select_block_sizes("backward_query", head_dim, q.dtype)
+        tq, tkv = select_block_sizes("backward_query", head_dim, q.dtype,
+                                     seq_len=q_len)
         block_q = block_q or tq
         block_kv = block_kv or tkv
 
@@ -278,6 +362,14 @@ def flash_attention_backward(
     c_pad = round_up(kv_len, block_kv)
     num_q_blocks = r_pad // block_q
     num_kv_blocks = c_pad // block_kv
+    # Pipeline halves: the dQ kernel splits KV columns, the dK/dV
+    # kernel splits Q rows (each along its traversal dimension).
+    nh_kv = (block_kv // PIPELINE_HALF
+             if block_kv % PIPELINE_HALF == 0 and block_kv > PIPELINE_HALF
+             else 1)
+    nh_q = (block_q // PIPELINE_HALF
+            if block_q % PIPELINE_HALF == 0 and block_q > PIPELINE_HALF
+            else 1)
 
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32) else None)
@@ -302,7 +394,8 @@ def flash_attention_backward(
 
     has_mask = mask is not None
     has_bias = bias is not None
-    needs_struct_mask = causal or window_size is not None or c_pad != kv_len
+    kv_pad = c_pad != kv_len
+    offset = kv_len - q_len
 
     def _aux_spec(a):
         bdim = 0 if a.shape[0] == 1 else None
@@ -320,13 +413,24 @@ def flash_attention_backward(
     if has_bias:
         bp = pad_to(bias, bias.shape[:2] + (r_pad, c_pad))
 
+    def kv_index(b, h, i, j, g=group):
+        jj = j
+        if causal:
+            jj = jnp.minimum(jj, _last_visible_block(
+                i, block_q=block_q, block_kv=block_kv, causal=True,
+                offset=offset, num_kv_blocks=num_kv_blocks))
+        if window_size is not None:
+            jj = jnp.maximum(jj, _first_visible_block(
+                i, block_q=block_q, block_kv=block_kv,
+                window_size=window_size, offset=offset,
+                num_kv_blocks=num_kv_blocks))
+        return (b, h // g, jj, 0)
+
     # ---- backwardQuery: grid over rows --------------------------------
     dq_specs = [
         pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_pad),
-                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
-        pl.BlockSpec((1, 1, block_kv, d_pad),
-                     lambda b, h, i, j, g=group: (b, h // g, j, 0)),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
+        pl.BlockSpec((1, 1, block_kv, d_pad), kv_index),
         pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
                      lambda b, h, i, j: (b, h, 0, i)),
@@ -355,10 +459,11 @@ def flash_attention_backward(
                                  jnp.float32))
 
     dq_kernel = _make_dq_kernel(
-        block_q=block_q, block_kv=block_kv, num_kv_blocks=num_kv_blocks,
+        block_q=block_q, block_kv=block_kv, num_halves=nh_kv,
+        num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_bias=has_bias,
-        needs_struct_mask=needs_struct_mask, emit_dbias=emit_dbias,
+        kv_pad=kv_pad, emit_dbias=emit_dbias,
         out_dtype=q.dtype, precision=precision,
     )
     dq_out = pl.pallas_call(
@@ -388,17 +493,38 @@ def flash_attention_backward(
                  if red else dbias_full).astype(bias.dtype)
 
     # ---- backwardKeyValue: grid over columns --------------------------
+    # (i is the traversal dim here, so K/V block skipping clamps i.)
+    def q_index_t(b, h, j, i):
+        # Clamped into range: the map is evaluated even for blocks the
+        # when-guard skips entirely.
+        ii = i
+        if causal:
+            # First visible Q block for KV block j: rows with
+            # r + offset >= j*block_kv.
+            first = jnp.clip((j * block_kv - offset) // block_q,
+                             0, num_q_blocks - 1)
+            ii = jnp.maximum(ii, first)
+        if window_size is not None:
+            # Last Q block whose window still reaches KV block j
+            # (largest i with i*bq + offset - window < (j+1)*bkv - 1,
+            # the exact complement of _block_visible's window bound).
+            lastw = (((j + 1) * block_kv - 2 + window_size - offset)
+                     // block_q)
+            ii = jnp.minimum(ii, jnp.clip(lastw, 0, num_q_blocks - 1))
+        return (b, h, ii, 0)
+
+    def q_res_index_t(b, h, j, i):
+        return (b, h, 0, q_index_t(b, h, j, i)[2])
+
     dkv_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index_t),
         pl.BlockSpec((1, 1, block_kv, d_pad),
                      lambda b, h, j, i, g=group: (b, h // g, j, 0)),
         pl.BlockSpec((1, 1, block_kv, d_pad),
                      lambda b, h, j, i, g=group: (b, h // g, j, 0)),
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda b, h, j, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
-                     lambda b, h, j, i: (b, h, 0, i)),
-        pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
-                     lambda b, h, j, i: (b, h, 0, i)),
+        pl.BlockSpec((1, 1, block_q, d_pad), q_index_t),
+        pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q), q_res_index_t),
+        pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q), q_res_index_t),
     ]
     dkv_inputs = [qp, kp, vp, dop, lsep, dp_]
 
@@ -409,7 +535,7 @@ def flash_attention_backward(
             (1, 1, block_q, block_kv),
             lambda b, h, j, i, bd=bdim, hd=hdim: (
                 bd if bd is not None else b,
-                hd if hd is not None else h, i, j),
+                hd if hd is not None else h, q_index_t(b, h, j, i)[2], j),
         )
 
     if has_mask:
@@ -418,10 +544,11 @@ def flash_attention_backward(
         dkv_specs.append(_aux_spec_t(bp)); dkv_inputs.append(bp)
 
     dkv_kernel = _make_dkv_kernel(
-        block_q=block_q, block_kv=block_kv, num_q_blocks=num_q_blocks,
+        block_q=block_q, block_kv=block_kv, num_halves=nh_q,
+        num_q_blocks=num_q_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_bias=has_bias,
-        needs_struct_mask=needs_struct_mask, out_dtype=jnp.float32,
+        kv_pad=kv_pad, out_dtype=jnp.float32,
         precision=precision,
     )
     dk_full, dv_full = pl.pallas_call(
@@ -497,7 +624,7 @@ def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
     out = flash_attention_backward(
         q, k, v, do, o, lse,
         causal=causal, window_size=window_size, mask=mask, bias=bias,
-        scale=scale, block_q=block_q, block_kv=block_kv,
+        scale=scale, block_q=None, block_kv=None,
         interpret=interpret, compute_dbias=bias is not None,
     )
     if bias is not None:
