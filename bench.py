@@ -41,7 +41,10 @@ PEAK_FLOPS = {
     "cpu": 1e12,
 }
 
-ITERS = 64
+# 128 in-jit iterations per measurement: at ~25 ms tunnel round-trip
+# and ~1-3 ms per kernel call, fewer iterations let rtt drift dominate
+# (observed as +/-10pp utilization noise at 32 iterations).
+ITERS = 128
 
 
 def detect_peak() -> float:

@@ -1,0 +1,326 @@
+"""Fused decode attention (Pallas / TPU): single-token queries against
+a long KV cache.
+
+The serving-side counterpart of `ops.flash_attention` (BASELINE
+target: decode tokens/s/chip with FP8/INT8 quantized KV).  The
+reference exposes decode as just another forward problem (R = 1 rows
+through the same generated kernel, `AttentionDescriptor.matrixDimensions
+(row, column, head)`); on TPU a dedicated kernel is worth a separate
+program because the padding economics change completely:
+
+- The prefill kernel pads Q rows to >= 128 (lane width); at q_len = 1
+  that wastes 128x the VPU softmax work.  Here the GQA *group* is the
+  row dimension: Q is reshaped to [batch, kv_heads, group, d] and the
+  score tile is [group_pad, block_kv] with group_pad = 8 sublanes —
+  16x less VPU work per KV element.
+- Decode is HBM-bandwidth-bound (every step streams the whole KV
+  cache); the MXU is nearly idle either way.  Speed-of-light is
+  kv_bytes / HBM_BW, which is exactly why the quantized cache tiers
+  (INT8/FP8 = 2x, NF4 = 4x bytes saved) translate ~linearly to decode
+  throughput.
+- Continuous batching: each sequence carries its own live length
+  (`kv_lens`); block steps beyond a sequence's length are skipped,
+  and the K/V index map (scalar-prefetched lengths) clamps onto the
+  last live block so skipped steps cost no HBM traffic.
+
+Like the reference's forward kernel, emits the online-softmax merge
+ingredients — so partial results from KV shards can be merged across
+chips (parallel/sharded_attention.py's combine).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.ops.flash_attention import (
+    LOG2E,
+    LN2,
+    MASK_VALUE,
+    MIN_LANES,
+    RESIDUAL_SUBLANES,
+)
+from metal_flash_attention_tpu.ops.quantization import QuantizedTensor
+from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
+
+# Score-tile sublane count: the GQA group pads up to this.
+GROUP_PAD = 8
+
+
+def _make_decode_kernel(
+    *,
+    group: int,
+    group_pad: int,
+    block_kv: int,
+    num_kv_blocks: int,
+    kv_len_static: int,
+    scale: float,
+    has_lens: bool,
+    out_dtype,
+    kv_precision=None,
+):
+    scale_log2e = scale * LOG2E
+
+    def kernel(*refs):
+        it = iter(refs)
+        lens_ref = next(it) if has_lens else None
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        k_scale_ref = next(it) if kv_precision is not None else None
+        v_scale_ref = next(it) if kv_precision is not None else None
+        o_ref = next(it)
+        l_ref = next(it)
+        m_scr = next(it)
+        l_scr = next(it)
+        acc_scr = next(it)
+
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        kv_len = lens_ref[b] if has_lens else kv_len_static
+
+        def body():
+            q = q_ref[0, 0]
+            q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+            if kv_precision is not None:
+                from metal_flash_attention_tpu.ops.quantization import (
+                    dequant_block,
+                )
+                k = dequant_block(k, k_scale_ref[b, h], kv_precision, q.dtype)
+                v = dequant_block(v, v_scale_ref[b, h], kv_precision, q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [group_pad, block_kv]
+            # Tail masking: one compare against the live length.
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (group_pad, block_kv), 1) + j * block_kv
+            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+        if has_lens:
+            pl.when(j * block_kv < kv_len)(body)
+        else:
+            body()
+
+        @pl.when(j == num_kv_blocks - 1)
+        def _store():
+            l_final = l_scr[:, :1]
+            safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
+            o_ref[0, 0] = (acc_scr[...] / safe_l).astype(out_dtype)
+            lse2 = jnp.where(
+                l_scr[:, 0] > 0.0,
+                m_scr[:, 0] + jnp.log2(l_scr[:, 0]), -jnp.inf)
+            l_ref[0, 0] = jnp.broadcast_to(
+                (lse2 * LN2)[None, :], l_ref.shape[2:])
+
+    return kernel
+
+
+def flash_decode(
+    q: jax.Array,
+    k,
+    v,
+    *,
+    kv_lens: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_kv: int = 2048,
+    interpret: Optional[bool] = None,
+    return_residuals: bool = False,
+):
+    """Decode-step attention for one new token per sequence.
+
+    Args:
+        q: [batch, q_heads, head_dim] — the current step's queries.
+        k, v: [batch, kv_heads, max_seq, head_dim] KV cache (or
+            :class:`QuantizedTensor` with that payload shape).
+        kv_lens: optional int32 [batch] live lengths for continuous
+            batching; defaults to the full cache length.  The query
+            token itself must already be written into the cache (its
+            position is kv_lens - 1).
+
+    Returns:
+        o [batch, q_heads, head_dim]  (+ lse [batch, q_heads] when
+        ``return_residuals`` — the merge residual for cross-chip
+        KV-shard combines).
+    """
+    kv_precision = None
+    k_scales = v_scales = None
+    if isinstance(k, QuantizedTensor):
+        assert isinstance(v, QuantizedTensor)
+        assert v.precision == k.precision
+        kv_precision = k.precision
+        assert kv_precision is not OperandPrecision.NF4, (
+            "NF4 decode: use the prefill kernel (packed-lane layout)")
+        k_scales, v_scales = k.scales, v.scales
+        k, v = k.values, v.values
+
+    batch, q_heads, head_dim = q.shape
+    _, kv_heads, max_seq, _ = k.shape
+    assert q_heads % kv_heads == 0
+    group = q_heads // kv_heads
+    group_pad = round_up(group, GROUP_PAD)
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if head_dim < MIN_LANES and head_dim % 8 == 0:
+        d_pad = head_dim
+    else:
+        d_pad = round_up(head_dim, MIN_LANES)
+    block_kv = max(min(block_kv, round_up(max_seq, MIN_LANES)), MIN_LANES)
+    c_pad = round_up(max_seq, block_kv)
+    num_kv_blocks = c_pad // block_kv
+
+    # [batch, q_heads, d] -> [batch, kv_heads, group_pad, d_pad]
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    qg = pad_to(qg, (batch, kv_heads, group_pad, d_pad))
+    kp = pad_to(k, (batch, kv_heads, c_pad, d_pad))
+    vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
+
+    has_lens = kv_lens is not None
+    kernel = _make_decode_kernel(
+        group=group, group_pad=group_pad, block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,
+        has_lens=has_lens, out_dtype=q.dtype, kv_precision=kv_precision,
+    )
+
+    in_specs = []
+    inputs = []
+    num_scalar_prefetch = 0
+    if has_lens:
+        num_scalar_prefetch = 1
+        inputs.append(kv_lens.astype(jnp.int32))
+
+    def kv_index(b, h, j, *prefetch):
+        if has_lens:
+            lens = prefetch[0]
+            # Clamp dead tail steps onto the last live block.
+            last = jnp.maximum(pl.cdiv(lens[b], block_kv) - 1, 0)
+            return (b, h, jnp.minimum(j, last), 0)
+        return (b, h, j, 0)
+
+    in_specs.append(pl.BlockSpec(
+        (1, 1, group_pad, d_pad),
+        lambda b, h, j, *p: (b, h, 0, 0)))
+    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_pad), kv_index))
+    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_pad), kv_index))
+    inputs += [qg, kp, vp]
+    if kv_precision is not None:
+        scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [scale_spec, scale_spec]
+        inputs += [k_scales.astype(jnp.float32),
+                   v_scales.astype(jnp.float32)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalar_prefetch,
+        grid=(batch, kv_heads, num_kv_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, group_pad, d_pad),
+                         lambda b, h, j, *p: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, group_pad),
+                         lambda b, h, j, *p: (b, h, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((group_pad, MIN_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, MIN_LANES), jnp.float32),
+            pltpu.VMEM((group_pad, d_pad), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads, group_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads, RESIDUAL_SUBLANES, group_pad),
+                jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
+    if return_residuals:
+        lse = lse[:, :, 0, :group].reshape(batch, q_heads)
+        return o, lse
+    return o
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("scale", "block_kv", "interpret"))
+def decode_step(
+    q_token: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    new_k: jax.Array,
+    new_v: jax.Array,
+    kv_lens: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_kv: int = 2048,
+    interpret: Optional[bool] = None,
+):
+    """One full decode step: append (new_k, new_v) at each sequence's
+    live position, then attend.
+
+    Args:
+        q_token: [batch, q_heads, head_dim]
+        k_cache, v_cache: [batch, kv_heads, max_seq, head_dim] (donated)
+        new_k, new_v: [batch, kv_heads, head_dim]
+        kv_lens: int32 [batch] lengths *before* this step.
+
+    Returns:
+        (o [batch, q_heads, head_dim], k_cache, v_cache, kv_lens + 1)
+    """
+    batch = q_token.shape[0]
+
+    def write(cache, new):
+        # Scatter one row per sequence at its live position.
+        def per_seq(c, n, pos):
+            return jax.lax.dynamic_update_slice(
+                c, n[:, None, :], (0, pos, 0))
+        return jax.vmap(per_seq)(cache, new, kv_lens)
+
+    k_cache = write(k_cache, new_k.astype(k_cache.dtype))
+    v_cache = write(v_cache, new_v.astype(v_cache.dtype))
+    new_lens = kv_lens + 1
+    o = flash_decode(
+        q_token, k_cache, v_cache, kv_lens=new_lens, scale=scale,
+        block_kv=block_kv, interpret=interpret,
+    )
+    return o, k_cache, v_cache, new_lens

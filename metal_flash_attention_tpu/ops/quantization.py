@@ -139,6 +139,42 @@ def nf4_codebook_lookup(idx: jax.Array) -> jax.Array:
     return out
 
 
+# f32 exponent bias minus the FP8 format's bias: the "magic" power of
+# two folded into the dequant scale (see fp8_expand_bits).
+_FP8_MAGIC_EXP = {
+    OperandPrecision.FP8_E4M3: 127 - 7,    # bias 7
+    OperandPrecision.FP8_E5M2: 127 - 15,   # bias 15
+}
+_FP8_MAN_BITS = {
+    OperandPrecision.FP8_E4M3: 3,
+    OperandPrecision.FP8_E5M2: 2,
+}
+
+
+def fp8_expand_bits(vals: jax.Array, precision: OperandPrecision) -> jax.Array:
+    """Expand FP8 payload bits into a float32 equal to
+    value * 2^-(127 - fp8_bias), via integer ops + bitcast.
+
+    The VPU analog of the reference's generated `fp8_*_to_half`
+    functions (QuantizationUtilities.swift:19-46).  v5e has no native
+    FP8 datapath, so XLA lowers `fp8.astype(f32)` to a slow emulation
+    (~80 Gelem/s measured); shifting the 7 payload bits straight into
+    the f32 exponent/mantissa fields runs at VPU int-op speed.  The
+    exponent is NOT rebased here — the 2^(127 - bias) correction is a
+    power of two, so callers fold it into the dequantization scale for
+    free (one multiply that already exists).  Exact for normals; FP8
+    subnormals map to f32 subnormals, which the TPU VPU flushes to
+    zero in the scale multiply — an absolute error below
+    absmax * 2^-14, far inside the quantized-KV tolerance tier.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    man_bits = _FP8_MAN_BITS[precision]
+    u = pltpu.bitcast(vals, jnp.int8).astype(jnp.int32) & 0xFF
+    bits = (((u & 0x7F) << (23 - man_bits)) | ((u >> 7) << 31))
+    return pltpu.bitcast(bits, jnp.float32)
+
+
 def dequant_block(vals: jax.Array, scale, precision: OperandPrecision,
                   compute_dtype) -> jax.Array:
     """In-kernel dequantization of one KV block (the TPU analog of the
@@ -150,4 +186,8 @@ def dequant_block(vals: jax.Array, scale, precision: OperandPrecision,
     """
     if precision is OperandPrecision.NF4:
         return (nf4_unpack(vals) * scale).astype(compute_dtype)
+    if precision in _FP8_MAGIC_EXP:
+        magic_scale = scale * (2.0 ** _FP8_MAGIC_EXP[precision])
+        return (fp8_expand_bits(vals, precision)
+                * magic_scale).astype(compute_dtype)
     return (vals.astype(jnp.float32) * scale).astype(compute_dtype)

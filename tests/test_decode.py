@@ -1,0 +1,131 @@
+"""Decode attention: single-token queries against long KV caches.
+
+Golden-model strategy per SURVEY.md §4 — the kernel output is checked
+against the naive reference on every configuration, including the
+quantized-KV tiers and continuous-batching variable lengths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.ops.flash_decode import (
+    decode_step,
+    flash_decode,
+)
+from metal_flash_attention_tpu.ops.quantization import dequantize, quantize
+
+
+def golden_decode(q, k, v, kv_lens=None):
+    """Naive decode: softmax(q K^T / sqrt(d)) V with GQA + lengths."""
+    batch, q_heads, d = q.shape
+    _, kv_heads, s, _ = k.shape
+    group = q_heads // kv_heads
+    kf = jnp.repeat(k.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(v.astype(jnp.float32), group, axis=1)
+    logits = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kf)
+    logits /= jnp.sqrt(jnp.float32(d))
+    if kv_lens is not None:
+        mask = jnp.arange(s)[None, None, :] < kv_lens[:, None, None]
+        logits = jnp.where(mask, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p, vf)
+
+
+@pytest.mark.parametrize("q_heads,kv_heads,d", [(8, 8, 64), (8, 2, 128),
+                                                (16, 2, 256), (4, 4, 96)])
+def test_decode_matches_golden(rng, q_heads, kv_heads, d):
+    batch, s = 2, 512
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    o = flash_decode(q, k, v, block_kv=256)
+    o_ref = golden_decode(q, k, v)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_decode_variable_lengths(rng):
+    batch, q_heads, kv_heads, s, d = 4, 8, 2, 640, 64
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    kv_lens = jnp.asarray([1, 130, 500, 640], jnp.int32)
+    o = flash_decode(q, k, v, kv_lens=kv_lens, block_kv=256)
+    o_ref = golden_decode(q, k, v, kv_lens=kv_lens)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_decode_odd_seq_padding(rng):
+    batch, q_heads, kv_heads, s, d = 1, 4, 4, 777, 64
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    o = flash_decode(q, k, v, block_kv=256)
+    o_ref = golden_decode(q, k, v)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_decode_residuals_merge(rng):
+    """lse residuals allow exact cross-shard merging (the ring /
+    context-parallel combine)."""
+    batch, q_heads, s, d = 1, 4, 512, 64
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, q_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, q_heads, s, d)), jnp.float32)
+    o1, lse1 = flash_decode(q, k[:, :, :256], v[:, :, :256],
+                            return_residuals=True, block_kv=256)
+    o2, lse2 = flash_decode(q, k[:, :, 256:], v[:, :, 256:],
+                            return_residuals=True, block_kv=256)
+    lse = jnp.logaddexp(lse1, lse2)
+    o = (o1 * jnp.exp(lse1 - lse)[..., None]
+         + o2 * jnp.exp(lse2 - lse)[..., None])
+    o_ref = golden_decode(q, k, v)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+@pytest.mark.parametrize("precision", [
+    OperandPrecision.INT8, OperandPrecision.FP8_E4M3,
+    OperandPrecision.FP8_E5M2,
+])
+def test_decode_quantized_kv(rng, precision):
+    batch, q_heads, kv_heads, s, d = 2, 8, 2, 512, 128
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    kq = quantize(k, precision)
+    vq = quantize(v, precision)
+    o = flash_decode(q, kq, vq, block_kv=256)
+    # Golden path: host-side dequantization (isolates the in-kernel
+    # dequant), so the only error left is bf16 compute.
+    o_ref = golden_decode(q, dequantize(kq), dequantize(vq))
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
+    # And the quantization error itself stays within the mixed tier
+    # against the unquantized cache.
+    o_full = golden_decode(q, k, v)
+    tol = 0.25 if precision is OperandPrecision.FP8_E5M2 else 0.15
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_full))) < tol
+
+
+def test_decode_step_appends_and_attends(rng):
+    batch, q_heads, kv_heads, max_s, d = 2, 4, 2, 256, 64
+    k_cache = jnp.zeros((batch, kv_heads, max_s, d), jnp.float32)
+    v_cache = jnp.zeros((batch, kv_heads, max_s, d), jnp.float32)
+    kv_lens = jnp.asarray([0, 0], jnp.int32)
+    # Prefill 3 tokens one by one, then check against golden over the
+    # accumulated cache.
+    ks = rng.standard_normal((3, batch, kv_heads, d)).astype(np.float32)
+    vs = rng.standard_normal((3, batch, kv_heads, d)).astype(np.float32)
+    qs = rng.standard_normal((3, batch, q_heads, d)).astype(np.float32)
+    for t in range(3):
+        o, k_cache, v_cache, kv_lens = decode_step(
+            jnp.asarray(qs[t]), k_cache, v_cache,
+            jnp.asarray(ks[t]), jnp.asarray(vs[t]), kv_lens,
+            block_kv=128, interpret=True)
+    assert kv_lens.tolist() == [3, 3]
+    o_ref = golden_decode(
+        jnp.asarray(qs[2]), k_cache, v_cache, kv_lens=kv_lens)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+    # Cache rows beyond the live length remain zero.
+    assert float(jnp.max(jnp.abs(k_cache[:, :, 3:]))) == 0.0
