@@ -20,6 +20,18 @@ on TPU one Pallas program covers the space:
   (`GEMMKernel+Source.swift:55-76`).
 - `loadPreviousC` folds the prior C into the accumulator on the first
   K step.
+
+Backend routing — a deliberate TPU-first design decision: XLA's
+native dot IS the vendor GEMM on TPU and measures 89-93% of the MXU
+roofline at large sizes where the best Pallas schedule we found stops
+at ~77% (v5e, bf16; misaligned 513-sized probes are 4x better through
+XLA).  The reference hand-rolled GEMM because Apple's vendor path was
+slow (`README.md` positions MFA against MPS); on TPU the honest
+equivalent is to ROUTE to `jax.lax.dot_general` by default and keep
+the Pallas kernel for what XLA does not give us — explicit block-level
+control for fused variants and a verification target for the
+descriptor/autotune machinery.  `backend="pallas"` forces the custom
+kernel; `backend="xla"` forces the native path.
 """
 
 from __future__ import annotations
@@ -73,7 +85,8 @@ def _make_gemm_kernel(*, num_k_blocks, load_previous_c, out_dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("transpose_a", "transpose_b", "out_dtype",
-                     "block_m", "block_n", "block_k", "interpret"),
+                     "block_m", "block_n", "block_k", "interpret",
+                     "backend"),
 )
 def gemm(
     a: jax.Array,
@@ -83,21 +96,65 @@ def gemm(
     transpose_a: bool = False,
     transpose_b: bool = False,
     out_dtype=None,
-    block_m: int = 128,
-    block_n: int = 128,
-    block_k: int = 512,
+    block_m: Optional[int] = None,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    backend: str = "auto",
 ):
     """C = op(A) op(B) [+ C_prev].
 
     op(A) is [M, K] (A is [K, M] when ``transpose_a``); op(B) is [K, N].
     ``c`` enables the reference's `loadPreviousC` accumulation.
+    Block sizes default to the descriptor heuristic / autotune cache
+    (descriptors.gemm_descriptor.GEMMDescriptor.kernel_config).
+
+    ``backend``: "auto" routes to XLA's native dot (see module
+    docstring); explicit block sizes or "pallas" select the custom
+    kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m, k = (a.shape[1], a.shape[0]) if transpose_a else a.shape
     kb, n = (b.shape[1], b.shape[0]) if transpose_b else b.shape
     assert k == kb, (a.shape, b.shape, transpose_a, transpose_b)
+
+    explicit_blocks = (block_m is not None or block_n is not None
+                       or block_k is not None)
+    if backend == "xla" or (backend == "auto" and not explicit_blocks):
+        if out_dtype is None:
+            out_dtype = jnp.promote_types(a.dtype, b.dtype)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float32)
+                or jnp.dtype(b.dtype) == jnp.dtype(jnp.float32))
+            else None)
+        a_contract = 0 if transpose_a else 1
+        b_contract = 1 if transpose_b else 0
+        out = jax.lax.dot_general(
+            a, b, (((a_contract,), (b_contract,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if c is not None:
+            out = out + c.astype(jnp.float32)
+        return out.astype(out_dtype)
+
+    if block_m is None or block_n is None or block_k is None:
+        from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
+            GEMMDescriptor,
+        )
+        from metal_flash_attention_tpu.descriptors.precision import (
+            OperandPrecision,
+        )
+        cfg = GEMMDescriptor(
+            m=m, n=n, k=k,
+            precision_a=OperandPrecision.from_dtype(a.dtype),
+            precision_b=OperandPrecision.from_dtype(b.dtype),
+            transpose_a=transpose_a, transpose_b=transpose_b,
+            load_previous_c=c is not None,
+        ).kernel_config()
+        block_m = block_m or cfg.block_m
+        block_n = block_n or cfg.block_n
+        block_k = block_k or cfg.block_k
 
     if out_dtype is None:
         out_dtype = jnp.promote_types(a.dtype, b.dtype)

@@ -125,6 +125,75 @@ def autotune_attention(
     return winner, results
 
 
+GEMM_CANDIDATES: tuple[tuple[int, int], ...] = (
+    (256, 256), (256, 512), (512, 256), (512, 512), (128, 512),
+    (512, 1024), (1024, 512),
+)
+
+
+def autotune_gemm(
+    *,
+    m: int = 1024,
+    n: int = 1024,
+    k: int = 1024,
+    dtype=jnp.bfloat16,
+    transpose_a: bool = False,
+    transpose_b: bool = False,
+    candidates: Sequence[tuple[int, int]] = GEMM_CANDIDATES,
+    iters: int = 32,
+    repeats: int = 3,
+    cache: Optional[KernelConfigCache] = None,
+    verbose: bool = False,
+) -> tuple[tuple[int, int], dict[tuple[int, int], float]]:
+    """Measure candidate (block_m, block_n) pairs for the GEMM kernel
+    (block_k resolves from the descriptor heuristic); record the
+    winner under the problem's canonical key."""
+    from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
+        GEMMDescriptor,
+    )
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.gemm import gemm
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(
+        (k, m) if transpose_a else (m, k)), dtype)
+    b = jnp.asarray(rng.standard_normal(
+        (n, k) if transpose_b else (k, n)), dtype)
+    desc = GEMMDescriptor(
+        m=m, n=n, k=k,
+        precision_a=OperandPrecision.from_dtype(dtype),
+        precision_b=OperandPrecision.from_dtype(dtype),
+        transpose_a=transpose_a, transpose_b=transpose_b)
+
+    results: dict[tuple[int, int], float] = {}
+    for bm, bn in candidates:
+        bk = desc._pick_block_k(bm, bn)
+
+        def one(a, b, bm=bm, bn=bn, bk=bk):
+            out = gemm(a, b, transpose_a=transpose_a,
+                       transpose_b=transpose_b,
+                       block_m=bm, block_n=bn, block_k=bk)
+            return out[0, :1].astype(jnp.float32).sum()
+
+        try:
+            results[(bm, bn)] = _loop_timed(
+                one, (a, b), iters=iters, repeats=repeats)
+        except Exception as e:
+            if verbose:
+                print(f"  ({bm},{bn}) failed: {type(e).__name__}")
+            continue
+        if verbose:
+            print(f"  ({bm},{bn}): {results[(bm, bn)] * 1e3:.3f} ms")
+
+    assert results, "no autotune candidate compiled"
+    winner = min(results, key=results.get)
+    cache = cache or KernelConfigCache.get()
+    cache.insert(desc.cache_key(), winner)
+    return winner, results
+
+
 def lookup_tuned_blocks(
     kernel_type: str, head_dim: int, dtype, n: int,
 ) -> Optional[tuple[int, int]]:

@@ -31,21 +31,23 @@ def laplacian(n: int) -> np.ndarray:
 
 # Probe misalignment cliffs around block boundaries like the
 # reference's 511/512/513 probes (`LaplacianTest.swift:44-109`).
+@pytest.mark.parametrize("backend", ["auto", "pallas"])
 @pytest.mark.parametrize("n", [7, 64, 127, 128, 129, 255, 256, 257])
 @pytest.mark.parametrize("ta,tb", [(False, False), (False, True),
                                    (True, False), (True, True)])
-def test_gemm_laplacian(rng, n, ta, tb):
+def test_gemm_laplacian(rng, n, ta, tb, backend):
     a_np = laplacian(n)
     b_np = rng.standard_normal((n, n)).astype(np.float32)
     a = jnp.asarray(a_np.T if ta else a_np)
     b = jnp.asarray(b_np.T if tb else b_np)
-    out = gemm(a, b, transpose_a=ta, transpose_b=tb)
+    out = gemm(a, b, transpose_a=ta, transpose_b=tb, backend=backend)
     expected = np.roll(b_np, 1, 0) - 2 * b_np + np.roll(b_np, -1, 0)
     assert max_abs_err(out, expected) < fp32_kernel_tol() * max(1, n // 64)
 
 
+@pytest.mark.parametrize("backend", ["auto", "pallas"])
 @pytest.mark.parametrize("trial", range(8))
-def test_gemm_adversarial(rng, trial):
+def test_gemm_adversarial(rng, trial, backend):
     r = np.random.default_rng(trial)
     # Cubed-uniform small-biased sizes (AdversarialShapeTest.swift:12-16)
     m, n, k = (int(r.uniform(0, 1) ** 3 * 500) + 1 for _ in range(3))
@@ -57,7 +59,7 @@ def test_gemm_adversarial(rng, trial):
     a = jnp.asarray(a_np.T if ta else a_np)
     b = jnp.asarray(b_np.T if tb else b_np)
     c = jnp.asarray(c_np) if load_c else None
-    out = gemm(a, b, c, transpose_a=ta, transpose_b=tb)
+    out = gemm(a, b, c, transpose_a=ta, transpose_b=tb, backend=backend)
     expected = a_np @ b_np + (c_np if load_c else 0.0)
     tol = fp32_kernel_tol() * max(1, k // 64)
     assert max_abs_err(out, expected) < tol, (m, n, k, ta, tb, load_c)
@@ -87,3 +89,50 @@ def test_batched_gemm(rng):
     out = batched_gemm(a, b)
     expected = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
     assert max_abs_err(out, expected) < fp32_kernel_tol() * 2
+
+
+def test_gemm_descriptor_heuristic():
+    from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
+        GEMMDescriptor,
+    )
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    d = GEMMDescriptor(m=4096, n=4096, k=4096,
+                       precision_a=OperandPrecision.BF16,
+                       precision_b=OperandPrecision.BF16)
+    cfg = d.kernel_config(vmem_budget=15 * 2**20)
+    # Large problems take 1024-wide tiles within the VMEM budget.
+    assert cfg.block_m == 1024 and cfg.block_n == 1024
+    assert GEMMDescriptor._vmem_bytes(
+        cfg.block_m, cfg.block_n, cfg.block_k, 2) <= 15 * 2**20
+    # Small problems shrink to the problem size.
+    d2 = GEMMDescriptor(m=100, n=100, k=100,
+                        precision_a=OperandPrecision.FP32,
+                        precision_b=OperandPrecision.FP32)
+    cfg2 = d2.kernel_config(vmem_budget=15 * 2**20)
+    assert cfg2.block_m <= 128 and cfg2.block_n == 128
+    # Transposed A forces lane alignment on block_m.
+    d3 = GEMMDescriptor(m=100, n=100, k=100, transpose_a=True,
+                        precision_a=OperandPrecision.FP32,
+                        precision_b=OperandPrecision.FP32)
+    assert d3.kernel_config(vmem_budget=15 * 2**20).block_m == 128
+
+
+def test_gemm_descriptor_cache_roundtrip(tmp_path, monkeypatch):
+    from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
+        GEMMDescriptor,
+    )
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.runtime.cache import KernelConfigCache
+
+    cache = KernelConfigCache(str(tmp_path / "s.json"))
+    monkeypatch.setattr(KernelConfigCache, "_instance", cache)
+    d = GEMMDescriptor(m=512, n=512, k=512,
+                       precision_a=OperandPrecision.BF16,
+                       precision_b=OperandPrecision.BF16)
+    cache.insert(d.cache_key(), (256, 384))
+    cfg = d.kernel_config()
+    assert (cfg.block_m, cfg.block_n) == (256, 384)
