@@ -145,6 +145,7 @@ def _make_fwd_kernel(
     causal: bool,
     window_size: Optional[int],
     has_mask: bool,
+    has_mask2: bool,
     has_bias: bool,
     kv_pad: bool,
     out_dtype,
@@ -167,6 +168,7 @@ def _make_fwd_kernel(
         k_scale_ref = next(it) if kv_precision is not None else None
         v_scale_ref = next(it) if kv_precision is not None else None
         mask_ref = next(it) if has_mask else None
+        mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
         o_ref = next(it)
         l_ref = next(it)
@@ -230,6 +232,12 @@ def _make_fwd_kernel(
                     gate = jnp.minimum(jnp.abs(
                         mask_ref[0, 0, :, u * half:(u + 1) * half]
                         .astype(jnp.float32)), 1.0)
+                    if has_mask2:
+                        # Second mask operand (reference fork:
+                        # `attnMask2` @ buffer 12) combines by AND.
+                        gate = gate * jnp.minimum(jnp.abs(
+                            mask2_ref[0, 0, :, u * half:(u + 1) * half]
+                            .astype(jnp.float32)), 1.0)
                     # Loaded masks are applied arithmetically: an i1
                     # vector sourced from memory trips a Mosaic
                     # relayout error when combined with iota-derived
@@ -355,6 +363,7 @@ def flash_attention_forward(
     window_size: Optional[int] = None,
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
+    mask2: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -365,11 +374,19 @@ def flash_attention_forward(
     Args:
         q: [batch, q_heads, q_len, head_dim]
         k, v: [batch, kv_heads, kv_len, head_dim]; q_heads % kv_heads == 0
-        mask: optional boolean/int [batch|1, heads|1, q_len, kv_len];
-            nonzero = attend (reference operand `mask` @ buffer 10,
-            AttentionOperand.swift:66-88).
-        bias: optional additive float [batch|1, heads|1, q_len, kv_len]
-            (reference operand `attnBias` @ buffer 11).
+        mask: optional boolean/int [B, H, q_len, kv_len]; nonzero =
+            attend (reference operand `mask` @ buffer 10,
+            AttentionOperand.swift:66-88).  B / H may be any divisor of
+            batch / q_heads: size-1 broadcasts, and a divisor R < batch
+            repeats every R batches — the reference fork's
+            `biasRepeatCount` window-attention pattern reuse
+            (AttentionDescriptor.swift:49-52,
+            AttentionKernel+Source.swift:142-178).
+        bias: optional additive float, same [B, H, q_len, kv_len]
+            broadcast/repeat rules (reference operand `attnBias` @
+            buffer 11).
+        mask2: optional second mask, combined with ``mask`` by AND
+            (reference fork operand `attnMask2` @ buffer 12).
         window_size: sliding window width (reference `windowSize`,
             AttentionDescriptor.swift:57); position r attends to
             columns in (r + offset - window, r + offset].
@@ -460,6 +477,8 @@ def flash_attention_forward(
         vp = pad_to(v, (batch, kv_heads, c_pad, d_kv))
 
     has_mask = mask is not None
+    has_mask2 = mask2 is not None
+    assert not (has_mask2 and not has_mask), "mask2 requires mask"
     has_bias = bias is not None
     kv_pad = c_pad != kv_len
 
@@ -499,20 +518,27 @@ def flash_attention_forward(
                    v_scales.astype(jnp.float32)]
 
     def _aux_spec(a):
-        # Broadcast batch/head dims of size 1.
-        bdim = 0 if a.shape[0] == 1 else None
-        hdim = 0 if a.shape[1] == 1 else None
+        # Batch/head dims broadcast (size 1) or repeat (any divisor):
+        # index = b % B covers both, implementing the reference fork's
+        # `biasRepeatCount` pattern reuse as a pure index map.
+        assert batch % a.shape[0] == 0 and q_heads % a.shape[1] == 0, (
+            f"mask/bias dims {a.shape[:2]} must divide "
+            f"({batch}, {q_heads})")
+        bmod, hmod = a.shape[0], a.shape[1]
         return pl.BlockSpec(
             (1, 1, block_q, block_kv),
-            lambda b, h, i, j, bd=bdim, hd=hdim: (
-                bd if bd is not None else b,
-                hd if hd is not None else h, i, j),
+            lambda b, h, i, j, bm=bmod, hm=hmod: (b % bm, h % hm, i, j),
         )
 
     if has_mask:
         mp = pad_to(mask.astype(jnp.int8), mask.shape[:2] + (r_pad, c_pad))
         in_specs.append(_aux_spec(mp))
         inputs.append(mp)
+    if has_mask2:
+        mp2 = pad_to(mask2.astype(jnp.int8),
+                     mask2.shape[:2] + (r_pad, c_pad))
+        in_specs.append(_aux_spec(mp2))
+        inputs.append(mp2)
     if has_bias:
         bp = pad_to(bias, bias.shape[:2] + (r_pad, c_pad))
         in_specs.append(_aux_spec(bp))
@@ -528,7 +554,8 @@ def flash_attention_forward(
         block_q=block_q, block_kv=block_kv, num_halves=num_halves,
         num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
-        window_size=window_size, has_mask=has_mask, has_bias=has_bias,
+        window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
+        has_bias=has_bias,
         kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
     )
@@ -581,6 +608,7 @@ def flash_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
+    mask2: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window_size: Optional[int] = None,
@@ -602,7 +630,8 @@ def flash_attention(
         # quantized KV).
         o, lse = flash_attention_forward(
             q, k, v, causal=causal, window_size=window_size, mask=mask,
-            bias=bias, scale=scale, block_q=block_q, block_kv=block_kv,
+            bias=bias, mask2=mask2, scale=scale,
+            block_q=block_q, block_kv=block_kv,
             interpret=interpret,
         )
         return (o, lse) if return_residuals else o
@@ -612,7 +641,7 @@ def flash_attention(
     )
 
     o, lse = _flash_attention_vjp(
-        q, k, v, mask, bias, causal, window_size, scale,
+        q, k, v, mask, bias, mask2, causal, window_size, scale,
         block_q, block_kv, interpret,
     )
     if return_residuals:

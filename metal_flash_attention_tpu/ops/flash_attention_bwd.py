@@ -73,7 +73,7 @@ from metal_flash_attention_tpu.utils.shapes import round_up, pad_to
 
 def _make_dq_kernel(
     *, block_q, block_kv, num_halves, num_kv_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_bias, kv_pad,
+    causal, window_size, has_mask, has_mask2, has_bias, kv_pad,
     emit_dbias, out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
@@ -86,6 +86,7 @@ def _make_dq_kernel(
         it = iter(refs)
         q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref = (next(it) for _ in range(6))
         mask_ref = next(it) if has_mask else None
+        mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
         dq_ref = next(it)
         dbias_ref = next(it) if emit_dbias else None
@@ -147,6 +148,10 @@ def _make_dq_kernel(
                     gate = jnp.minimum(jnp.abs(
                         mask_ref[0, 0, :, u * half:(u + 1) * half]
                         .astype(jnp.float32)), 1.0)
+                    if has_mask2:
+                        gate = gate * jnp.minimum(jnp.abs(
+                            mask2_ref[0, 0, :, u * half:(u + 1) * half]
+                            .astype(jnp.float32)), 1.0)
                     s = s + (gate - 1.0) * GATE_MAGNITUDE
                     gates.append(gate)
                 ss.append(s)
@@ -201,7 +206,7 @@ def _make_dq_kernel(
 
 def _make_dkv_kernel(
     *, block_q, block_kv, num_halves, num_q_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_bias, kv_pad,
+    causal, window_size, has_mask, has_mask2, has_bias, kv_pad,
     out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
@@ -214,6 +219,7 @@ def _make_dkv_kernel(
         it = iter(refs)
         q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref = (next(it) for _ in range(6))
         mask_ref = next(it) if has_mask else None
+        mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
         dk_ref = next(it)
         dv_ref = next(it)
@@ -270,6 +276,10 @@ def _make_dkv_kernel(
                     gate = jnp.minimum(jnp.abs(
                         mask_ref[0, 0, u * half:(u + 1) * half, :]
                         .astype(jnp.float32)), 1.0)
+                    if has_mask2:
+                        gate = gate * jnp.minimum(jnp.abs(
+                            mask2_ref[0, 0, u * half:(u + 1) * half, :]
+                            .astype(jnp.float32)), 1.0)
                     s = s + (gate - 1.0) * GATE_MAGNITUDE
                     gates.append(gate)
                 ss.append(s)
@@ -331,7 +341,8 @@ def _make_dkv_kernel(
 def flash_attention_backward(
     q, k, v, do, o, lse,
     *,
-    causal=False, window_size=None, mask=None, bias=None, scale=None,
+    causal=False, window_size=None, mask=None, bias=None, mask2=None,
+    scale=None,
     block_q=None, block_kv=None, interpret=None, compute_dbias=False,
 ):
     """Run both backward kernels; returns (dq, dk, dv[, dbias]).
@@ -393,23 +404,26 @@ def flash_attention_backward(
         (batch, q_heads, RESIDUAL_SUBLANES, r_pad))
 
     has_mask = mask is not None
+    has_mask2 = mask2 is not None
     has_bias = bias is not None
     kv_pad = c_pad != kv_len
     offset = kv_len - q_len
 
     def _aux_spec(a):
-        bdim = 0 if a.shape[0] == 1 else None
-        hdim = 0 if a.shape[1] == 1 else None
+        # Broadcast (size 1) or repeat (divisor) batch/head dims via
+        # modulo index maps (the fork's biasRepeatCount semantics).
+        bmod, hmod = a.shape[0], a.shape[1]
         return pl.BlockSpec(
             (1, 1, block_q, block_kv),
-            lambda b, h, i, j, bd=bdim, hd=hdim: (
-                bd if bd is not None else b,
-                hd if hd is not None else h, i, j),
+            lambda b, h, i, j, bm=bmod, hm=hmod: (b % bm, h % hm, i, j),
         )
 
-    mp = bp = None
+    mp = mp2 = bp = None
     if has_mask:
         mp = pad_to(mask.astype(jnp.int8), mask.shape[:2] + (r_pad, c_pad))
+    if has_mask2:
+        mp2 = pad_to(mask2.astype(jnp.int8),
+                     mask2.shape[:2] + (r_pad, c_pad))
     if has_bias:
         bp = pad_to(bias, bias.shape[:2] + (r_pad, c_pad))
 
@@ -440,6 +454,8 @@ def flash_attention_backward(
     dq_inputs = [qp, kp, vp, dop, lsep, dp_]
     if has_mask:
         dq_specs.append(_aux_spec(mp)); dq_inputs.append(mp)
+    if has_mask2:
+        dq_specs.append(_aux_spec(mp2)); dq_inputs.append(mp2)
     if has_bias:
         dq_specs.append(_aux_spec(bp)); dq_inputs.append(bp)
 
@@ -462,7 +478,8 @@ def flash_attention_backward(
         block_q=block_q, block_kv=block_kv, num_halves=nh_kv,
         num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
-        window_size=window_size, has_mask=has_mask, has_bias=has_bias,
+        window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
+        has_bias=has_bias,
         kv_pad=kv_pad, emit_dbias=emit_dbias,
         out_dtype=q.dtype, precision=precision,
     )
@@ -529,17 +546,17 @@ def flash_attention_backward(
     dkv_inputs = [qp, kp, vp, dop, lsep, dp_]
 
     def _aux_spec_t(a):
-        bdim = 0 if a.shape[0] == 1 else None
-        hdim = 0 if a.shape[1] == 1 else None
+        bmod, hmod = a.shape[0], a.shape[1]
         return pl.BlockSpec(
             (1, 1, block_q, block_kv),
-            lambda b, h, j, i, bd=bdim, hd=hdim: (
-                bd if bd is not None else b,
-                hd if hd is not None else h, q_index_t(b, h, j, i)[2], j),
+            lambda b, h, j, i, bm=bmod, hm=hmod: (
+                b % bm, h % hm, q_index_t(b, h, j, i)[2], j),
         )
 
     if has_mask:
         dkv_specs.append(_aux_spec_t(mp)); dkv_inputs.append(mp)
+    if has_mask2:
+        dkv_specs.append(_aux_spec_t(mp2)); dkv_inputs.append(mp2)
     if has_bias:
         dkv_specs.append(_aux_spec_t(bp)); dkv_inputs.append(bp)
 
@@ -547,7 +564,8 @@ def flash_attention_backward(
         block_q=block_q, block_kv=block_kv, num_halves=nh_q,
         num_q_blocks=num_q_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
-        window_size=window_size, has_mask=has_mask, has_bias=has_bias,
+        window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
+        has_bias=has_bias,
         kv_pad=kv_pad, out_dtype=jnp.float32,
         precision=precision,
     )
@@ -595,36 +613,38 @@ def flash_attention_backward(
 # custom_vjp wiring
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _flash_attention_vjp(
-    q, k, v, mask, bias,
+    q, k, v, mask, bias, mask2,
     causal, window_size, scale, block_q, block_kv, interpret,
 ):
     return flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
-        bias=bias, scale=scale, block_q=block_q, block_kv=block_kv,
+        bias=bias, mask2=mask2, scale=scale,
+        block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
 
 
-def _vjp_fwd(q, k, v, mask, bias,
+def _vjp_fwd(q, k, v, mask, bias, mask2,
              causal, window_size, scale, block_q, block_kv, interpret):
     o, lse = flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
-        bias=bias, scale=scale, block_q=block_q, block_kv=block_kv,
+        bias=bias, mask2=mask2, scale=scale,
+        block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
-    return (o, lse), (q, k, v, mask, bias, o, lse)
+    return (o, lse), (q, k, v, mask, bias, mask2, o, lse)
 
 
 def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
              residuals, cotangents):
-    q, k, v, mask, bias, o, lse = residuals
+    q, k, v, mask, bias, mask2, o, lse = residuals
     do, _dlse = cotangents
     out = flash_attention_backward(
         q, k, v, do, o, lse,
         causal=causal, window_size=window_size, mask=mask, bias=bias,
-        scale=scale, block_q=None, block_kv=None,
+        mask2=mask2, scale=scale, block_q=None, block_kv=None,
         interpret=interpret, compute_dbias=bias is not None,
     )
     if bias is not None:
@@ -632,11 +652,13 @@ def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
     else:
         dq, dk, dv = out
         dbias = None
-    dmask = None
+    dmask = dmask2 = None
     if mask is not None:
         # Boolean/integer mask is non-differentiable.
         dmask = jnp.zeros(mask.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, dmask, dbias
+    if mask2 is not None:
+        dmask2 = jnp.zeros(mask2.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask, dbias, dmask2
 
 
 _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

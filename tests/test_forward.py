@@ -184,3 +184,80 @@ def test_forward_decode_shape(rng):
     o, _ = flash_attention_forward(q, k, v, causal=True)
     o_ref = golden_batched(q, k, v, causal=True)[0]
     assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_mask2_combines_by_and(rng):
+    """Reference fork operand `attnMask2` @ buffer 12
+    (AttentionOperand.swift:36-88): two masks AND together."""
+    n, d = 200, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    m1 = jnp.asarray(rng.random((1, 1, n, n)) > 0.2)
+    m2 = jnp.asarray(rng.random((1, 1, n, n)) > 0.2)
+    o, _ = flash_attention_forward(q, k, v, mask=m1, mask2=m2)
+    o_ref = golden_batched(q, k, v, mask=jnp.logical_and(m1, m2))[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_bias_repeat(rng):
+    """biasRepeatCount semantics (AttentionDescriptor.swift:49-52):
+    a bias whose batch dim R divides the full batch repeats every R
+    batches (bias_pattern_idx = batch_idx % R)."""
+    batch, heads, n, d = 4, 2, 130, 64
+    repeat = 2
+    q, k, v = make_qkv(rng, (batch, heads, n, d), (batch, heads, n, d))
+    bias = jnp.asarray(
+        rng.standard_normal((repeat, heads, n, n)), jnp.float32)
+    o, _ = flash_attention_forward(q, k, v, bias=bias)
+    bias_full = jnp.concatenate([bias] * (batch // repeat), axis=0)
+    o_ref = golden_batched(q, k, v)[0]  # shape/stack check below
+    outs = []
+    for b in range(batch):
+        per = jax.vmap(lambda q2, k2, v2, bb: attention_reference(
+            q2, k2, v2, bias=bb))(q[b], k[b], v[b], bias_full[b])
+        outs.append(per)
+    o_ref = jnp.stack(outs)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_forward_mask_head_repeat(rng):
+    """Mask head dim repeats when it divides q_heads (modulo index
+    map, generalizing broadcast)."""
+    batch, heads, n, d = 1, 4, 128, 64
+    q, k, v = make_qkv(rng, (batch, heads, n, d), (batch, heads, n, d))
+    mask = jnp.asarray(rng.random((1, 2, n, n)) > 0.3)
+    o, _ = flash_attention_forward(q, k, v, mask=mask)
+    mask_full = jnp.concatenate([mask, mask], axis=1)
+    o_ref = golden_batched(q, k, v, mask=None)[0]
+    outs = []
+    for h in range(heads):
+        outs.append(attention_reference(
+            q[0, h], k[0, h], v[0, h], mask=mask_full[0, h]))
+    o_ref = jnp.stack(outs)[None]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_backward_mask2(rng):
+    from metal_flash_attention_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+    n, d = 150, 64
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, n, d))
+    m1 = jnp.asarray(rng.random((1, 1, n, n)) > 0.2)
+    m2 = jnp.asarray(rng.random((1, 1, n, n)) > 0.2)
+    do = jnp.asarray(rng.standard_normal((1, 2, n, d)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, m1, None, m2) * do)
+
+    g = jax.grad(loss, (0, 1, 2))(q, k, v)
+    m12 = jnp.logical_and(m1, m2)[0, 0]
+
+    def loss_ref(q, k, v):
+        o = jnp.stack([
+            attention_reference(q[0, h], k[0, h], v[0, h], mask=m12)
+            for h in range(2)])[None]
+        return jnp.sum(o * do)
+
+    g_ref = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        assert max_abs_err(a, b) < 5 * fp32_kernel_tol()
