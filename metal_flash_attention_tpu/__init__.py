@@ -28,9 +28,14 @@ TPU-first:
   to inter-chip KV rotation.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from metal_flash_attention_tpu.ops.flash_attention import flash_attention
+from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+from metal_flash_attention_tpu.ops.quantization import (
+    QuantizedTensor,
+    quantize,
+)
 from metal_flash_attention_tpu.ops.reference import attention_reference
 from metal_flash_attention_tpu.descriptors.attention_descriptor import (
     AttentionDescriptor,
@@ -38,6 +43,9 @@ from metal_flash_attention_tpu.descriptors.attention_descriptor import (
 
 __all__ = [
     "flash_attention",
+    "flash_decode",
+    "quantize",
+    "QuantizedTensor",
     "attention_reference",
     "AttentionDescriptor",
     "__version__",

@@ -1,0 +1,229 @@
+"""Serving loop: prefill + token-by-token decode on preallocated KV
+caches.
+
+The serving-side model integration (BASELINE config 4: single-host
+serving with quantized KV).  The reference stops at kernels; this is
+the layer a user of the reference's fork (Draw Things-style serving)
+would build on top, provided here so the framework is end-to-end:
+
+- `prefill`: one fused causal forward over the prompt, writing K/V
+  into preallocated [batch, kv_heads, max_seq, d] caches (static
+  shapes — one compile for any prompt length <= max_seq).
+- `decode_step`: one token per sequence through
+  `ops.flash_decode` (GQA-packed, continuous-batching lengths).
+- `generate`: greedy loop under `jax.lax.while_loop`-free Python (the
+  per-step jit is cached; the cache buffers are donated).
+- Quantized serving: `quantize_caches` converts a prefilled cache to
+  INT8/FP8 once, then `decode_step_quantized` appends new tokens to a
+  small bf16 tail while the bulk prefix stays quantized — partials
+  from both segments merge with the online-softmax combine, the same
+  merge the ring/context-parallel layers use.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.models import llama
+from metal_flash_attention_tpu.ops.flash_attention import flash_attention
+from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+from metal_flash_attention_tpu.ops.quantization import (
+    QuantizedTensor,
+    quantize,
+)
+
+
+class KVCache(NamedTuple):
+    """Per-layer K/V caches + live lengths."""
+    k: list            # [layers] x [batch, kv_heads, max_seq, d]
+    v: list
+    lengths: jax.Array  # int32 [batch]
+
+
+def init_cache(cfg: llama.LlamaConfig, batch: int, max_seq: int,
+               dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (batch, cfg.n_kv_heads, max_seq, cfg.head_dim)
+    return KVCache(
+        k=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+        v=[jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)],
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def prefill(params: dict, tokens: jax.Array, cfg: llama.LlamaConfig,
+            cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """Run the prompt through the model; returns (last-position logits,
+    filled cache).  tokens: [batch, prompt_len]."""
+    b, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    new_k, new_v = [], []
+    for layer in params["layers"]:
+        x, (k_layer, v_layer) = llama.attention_block(
+            layer, x, cfg, cos, sin)
+        new_k.append(k_layer)
+        new_v.append(v_layer)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, -1] @ params["lm_head"]).astype(jnp.float32)
+
+    k_cache = [
+        jax.lax.dynamic_update_slice(c, k.astype(c.dtype), (0, 0, 0, 0))
+        for c, k in zip(cache.k, new_k)]
+    v_cache = [
+        jax.lax.dynamic_update_slice(c, v.astype(c.dtype), (0, 0, 0, 0))
+        for c, v in zip(cache.v, new_v)]
+    lengths = jnp.full_like(cache.lengths, s)
+    return logits, KVCache(k_cache, v_cache, lengths)
+
+
+def decode_step(params: dict, token: jax.Array, cfg: llama.LlamaConfig,
+                cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """One decode step. token: int32 [batch]; returns (logits, cache)."""
+    b = token.shape[0]
+    positions = cache.lengths[:, None]          # [batch, 1]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)  # [b, 1, d]
+    k_out, v_out = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+
+        # Scatter the new row at each sequence's live position.
+        def write(c, n):
+            return jax.vmap(lambda cc, nn, pos: jax.lax.dynamic_update_slice(
+                cc, nn.astype(cc.dtype), (0, pos, 0)))(
+                c, n, cache.lengths)
+        kc = write(cache.k[li], k)
+        vc = write(cache.v[li], v)
+        k_out.append(kc)
+        v_out.append(vc)
+
+        o = flash_decode(
+            q[:, :, 0], kc, vc, kv_lens=cache.lengths + 1)
+        o = o.reshape(b, 1, -1)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, KVCache(k_out, v_out, cache.lengths + 1)
+
+
+def generate(params: dict, prompt: jax.Array, cfg: llama.LlamaConfig,
+             *, max_new_tokens: int, max_seq: Optional[int] = None,
+             cache_dtype=None) -> jax.Array:
+    """Greedy generation. prompt: int32 [batch, prompt_len]; returns
+    int32 [batch, prompt_len + max_new_tokens]."""
+    b, s = prompt.shape
+    max_seq = max_seq or (s + max_new_tokens)
+    cache = init_cache(cfg, b, max_seq, dtype=cache_dtype)
+    logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
+        params, prompt, cfg, cache)
+    step = jax.jit(decode_step, static_argnames=("cfg",),
+                   donate_argnums=(3,))
+    tokens = [prompt]
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(max_new_tokens):
+        tokens.append(token[:, None])
+        logits, cache = step(params, token, cfg, cache)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.concatenate(tokens, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Quantized serving: quantized bulk prefix + bf16 tail
+# ---------------------------------------------------------------------------
+
+class QuantizedKVCache(NamedTuple):
+    """Bulk prefix quantized once after prefill; recent tokens append
+    to a small full-precision tail.  Attention over the two segments
+    merges exactly via the online-softmax combine."""
+    k_q: list           # [layers] QuantizedTensor [b, kvh, prefix, d]
+    v_q: list
+    k_tail: list        # [layers] [b, kvh, tail_cap, d] full precision
+    v_tail: list
+    prefix_len: jax.Array   # int32 [batch]
+    tail_len: jax.Array     # int32 [batch]
+
+
+def quantize_cache(cache: KVCache, precision: OperandPrecision,
+                   tail_capacity: int = 128) -> QuantizedKVCache:
+    """Convert a prefilled cache to the quantized-prefix layout
+    (reference capability: quantizedKV forward,
+    AttentionDescriptor.swift:64, at serving scale)."""
+    b, kvh, _, d = cache.k[0].shape
+    tail_shape = (b, kvh, tail_capacity, d)
+    return QuantizedKVCache(
+        k_q=[quantize(k.astype(jnp.float32), precision) for k in cache.k],
+        v_q=[quantize(v.astype(jnp.float32), precision) for v in cache.v],
+        k_tail=[jnp.zeros(tail_shape, cache.k[0].dtype) for _ in cache.k],
+        v_tail=[jnp.zeros(tail_shape, cache.v[0].dtype) for _ in cache.v],
+        prefix_len=cache.lengths,
+        tail_len=jnp.zeros_like(cache.lengths),
+    )
+
+
+def _merge_partials(o1, lse1, o2, lse2):
+    lse = jnp.logaddexp(lse1, lse2)
+    safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+    w1 = jnp.where(jnp.isfinite(lse1), jnp.exp(lse1 - safe), 0.0)
+    w2 = jnp.where(jnp.isfinite(lse2), jnp.exp(lse2 - safe), 0.0)
+    return o1 * w1[..., None] + o2 * w2[..., None]
+
+
+def decode_step_quantized(
+    params: dict, token: jax.Array, cfg: llama.LlamaConfig,
+    cache: QuantizedKVCache,
+) -> tuple[jax.Array, QuantizedKVCache]:
+    """One decode step over (quantized prefix) + (bf16 tail)."""
+    b = token.shape[0]
+    positions = (cache.prefix_len + cache.tail_len)[:, None]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    k_tail_out, v_tail_out = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+
+        def write(c, n):
+            return jax.vmap(lambda cc, nn, pos: jax.lax.dynamic_update_slice(
+                cc, nn.astype(cc.dtype), (0, pos, 0)))(
+                c, n, cache.tail_len)
+        kt = write(cache.k_tail[li], k)
+        vt = write(cache.v_tail[li], v)
+        k_tail_out.append(kt)
+        v_tail_out.append(vt)
+
+        qv = q[:, :, 0]
+        o_pre, lse_pre = flash_decode(
+            qv, cache.k_q[li], cache.v_q[li],
+            kv_lens=cache.prefix_len, return_residuals=True)
+        o_tail, lse_tail = flash_decode(
+            qv, kt, vt, kv_lens=cache.tail_len + 1,
+            return_residuals=True, block_kv=128)
+        o = _merge_partials(o_pre.astype(jnp.float32), lse_pre,
+                            o_tail.astype(jnp.float32), lse_tail)
+        o = o.astype(x.dtype).reshape(b, 1, -1)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, QuantizedKVCache(
+        cache.k_q, cache.v_q, k_tail_out, v_tail_out,
+        cache.prefix_len, cache.tail_len + 1)

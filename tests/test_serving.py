@@ -1,0 +1,67 @@
+"""Serving loop: prefill + flash_decode generation matches the full
+recompute path token for token."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.models import llama, serving
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)),
+        jnp.int32)
+    return cfg, params, prompt
+
+
+def reference_greedy(params, prompt, cfg, n_new):
+    """Teacher-forced full recompute: argmax over forward(all tokens)."""
+    toks = prompt
+    for _ in range(n_new):
+        logits, _ = llama.forward(params, toks, cfg)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        toks = jnp.concatenate([toks, nxt[:, None]], axis=1)
+    return toks
+
+
+def test_generate_matches_full_recompute(setup):
+    cfg, params, prompt = setup
+    n_new = 5
+    got = serving.generate(params, prompt, cfg, max_new_tokens=n_new,
+                           max_seq=64)
+    want = reference_greedy(params, prompt, cfg, n_new)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prefill_logits_match_forward(setup):
+    cfg, params, prompt = setup
+    cache = serving.init_cache(cfg, prompt.shape[0], 64)
+    logits, cache2 = serving.prefill(params, prompt, cfg, cache)
+    full, _ = llama.forward(params, prompt, cfg)
+    assert float(jnp.max(jnp.abs(logits - full[:, -1]))) < 1e-2
+    assert cache2.lengths.tolist() == [16, 16]
+
+
+def test_quantized_decode_close_to_full(setup):
+    cfg, params, prompt = setup
+    cache = serving.init_cache(cfg, prompt.shape[0], 64)
+    logits, cache = serving.prefill(params, prompt, cfg, cache)
+    token = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    lf, cache_f = serving.decode_step(params, token, cfg, cache)
+    qcache = serving.quantize_cache(cache, OperandPrecision.INT8,
+                                    tail_capacity=16)
+    lq, qcache = serving.decode_step_quantized(params, token, cfg, qcache)
+    # INT8 cache shifts logits slightly; ranking of the top token
+    # should survive and the magnitude gap stay small.
+    assert float(jnp.max(jnp.abs(lq - lf))) < 0.5
+    lq2, qcache = serving.decode_step_quantized(
+        params, jnp.argmax(lq, -1).astype(jnp.int32), cfg, qcache)
+    assert bool(jnp.all(jnp.isfinite(lq2)))
+    assert qcache.tail_len.tolist() == [2, 2]
