@@ -6,3 +6,27 @@ is the TPU-native extension that lifts its associative online-softmax
 merge ((m,l,O) combine, `AttentionKernel+Softmax.swift:524-581`) from
 the in-kernel traversal loop to inter-chip KV rotation.
 """
+
+from metal_flash_attention_tpu.parallel.mesh import (
+    CONTEXT_AXIS,
+    DATA_AXIS,
+    HEAD_AXIS,
+    make_mesh,
+)
+from metal_flash_attention_tpu.parallel.ring_attention import ring_attention
+from metal_flash_attention_tpu.parallel.sharded_attention import (
+    context_parallel_attention,
+    context_parallel_decode,
+    sharded_flash_attention,
+)
+
+__all__ = [
+    "make_mesh",
+    "DATA_AXIS",
+    "HEAD_AXIS",
+    "CONTEXT_AXIS",
+    "ring_attention",
+    "sharded_flash_attention",
+    "context_parallel_attention",
+    "context_parallel_decode",
+]

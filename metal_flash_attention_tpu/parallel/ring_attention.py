@@ -23,6 +23,7 @@ skipped entirely — the reference's block-skip
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -32,6 +33,9 @@ from jax import shard_map
 
 from metal_flash_attention_tpu.ops.flash_attention import (
     flash_attention_forward,
+)
+from metal_flash_attention_tpu.ops.flash_attention_bwd import (
+    flash_attention_backward,
 )
 from metal_flash_attention_tpu.parallel.mesh import (
     CONTEXT_AXIS,
@@ -100,6 +104,100 @@ def _ring_attention_local(
     return o.astype(q.dtype), lse
 
 
+def _ring_attention_bwd_local(
+    q, k_local, v_local, do, o, lse,
+    *, axis_name, n, causal, scale, block_q, block_kv,
+):
+    """Ring backward: K/V shards rotate exactly as in the forward, and
+    the dK/dV accumulators *travel with them* — after the last step one
+    extra `ppermute` delivers each shard's gradient home.  Per step the
+    local two-kernel backward recomputes P from the *global* L residual,
+    so each chunk pair's contribution is the exact partial derivative
+    (the same property that makes the reference's L-based recompute
+    work intra-kernel, `AttentionKernel+Source.swift:419-518`)."""
+    my = jax.lax.axis_index(axis_name)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dk_rot = jnp.zeros(k_local.shape, jnp.float32)
+    dv_rot = jnp.zeros(v_local.shape, jnp.float32)
+
+    def bwd_chunk(args, chunk_causal):
+        q_, k_, v_ = args
+        return flash_attention_backward(
+            q_, k_, v_, do, o, lse, causal=chunk_causal, scale=scale,
+            block_q=block_q, block_kv=block_kv)
+
+    def full(args):
+        dq_, dk_, dv_ = bwd_chunk(args, False)
+        return (dq_.astype(jnp.float32), dk_.astype(jnp.float32),
+                dv_.astype(jnp.float32))
+
+    def diag(args):
+        dq_, dk_, dv_ = bwd_chunk(args, True)
+        return (dq_.astype(jnp.float32), dk_.astype(jnp.float32),
+                dv_.astype(jnp.float32))
+
+    def skip(args):
+        q_, k_, v_ = args
+        return (jnp.zeros(q_.shape, jnp.float32),
+                jnp.zeros(k_.shape, jnp.float32),
+                jnp.zeros(v_.shape, jnp.float32))
+
+    k_blk, v_blk = k_local, v_local
+    for step in range(n):
+        src = (my - step) % n
+        if causal:
+            dq_p, dk_p, dv_p = jax.lax.cond(
+                src > my, skip,
+                lambda a: jax.lax.cond(src == my, diag, full, a),
+                (q, k_blk, v_blk))
+        else:
+            dq_p, dk_p, dv_p = full((q, k_blk, v_blk))
+        dq += dq_p
+        dk_rot += dk_p
+        dv_rot += dv_p
+        if step < n - 1:
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            dk_rot = jax.lax.ppermute(dk_rot, axis_name, perm)
+            dv_rot = jax.lax.ppermute(dv_rot, axis_name, perm)
+    # After n-1 rotations each chip holds the gradient for chunk
+    # (my + 1) % n; one more hop delivers it home.
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    dk = jax.lax.ppermute(dk_rot, axis_name, perm)
+    dv = jax.lax.ppermute(dv_rot, axis_name, perm)
+    return dq.astype(q.dtype), dk.astype(k_local.dtype), \
+        dv.astype(v_local.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring_attn(q, k, v, axis_name, n, causal, scale, block_q, block_kv):
+    return _ring_attention_local(
+        q, k, v, axis_name=axis_name, n=n, causal=causal, scale=scale,
+        block_q=block_q, block_kv=block_kv)
+
+
+def _ring_attn_fwd(q, k, v, axis_name, n, causal, scale, block_q,
+                   block_kv):
+    o, lse = _ring_attention_local(
+        q, k, v, axis_name=axis_name, n=n, causal=causal, scale=scale,
+        block_q=block_q, block_kv=block_kv)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _ring_attn_bwd(axis_name, n, causal, scale, block_q, block_kv,
+                   residuals, cotangents):
+    q, k, v, o, lse = residuals
+    do, _dlse = cotangents
+    return _ring_attention_bwd_local(
+        q, k, v, do.astype(q.dtype), o, lse,
+        axis_name=axis_name, n=n, causal=causal, scale=scale,
+        block_q=block_q, block_kv=block_kv)
+
+
+_ring_attn.defvjp(_ring_attn_fwd, _ring_attn_bwd)
+
+
 def ring_attention(
     mesh: Mesh,
     *,
@@ -110,7 +208,8 @@ def ring_attention(
     return_residuals: bool = False,
 ):
     """Build a jitted ring-attention callable over ``mesh``'s context
-    axis (optionally composed with data/head axes).
+    axis (optionally composed with data/head axes).  Differentiable:
+    the backward ring rotates dK/dV accumulators with the KV shards.
 
     q, k, v: [batch, heads, seq, d] with seq sharded over the context
     axis (seq must divide evenly).  Heads/data shard as usual — the
@@ -120,10 +219,9 @@ def ring_attention(
     lse_spec = P(DATA_AXIS, HEAD_AXIS, CONTEXT_AXIS)
 
     def local(q, k, v):
-        o, lse = _ring_attention_local(
-            q, k, v, axis_name=CONTEXT_AXIS, n=mesh.shape[CONTEXT_AXIS],
-            causal=causal, scale=scale,
-            block_q=block_q, block_kv=block_kv)
+        o, lse = _ring_attn(
+            q, k, v, CONTEXT_AXIS, mesh.shape[CONTEXT_AXIS],
+            causal, scale, block_q, block_kv)
         return (o, lse) if return_residuals else o
 
     out_specs = (spec, lse_spec) if return_residuals else spec

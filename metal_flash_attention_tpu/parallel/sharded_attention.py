@@ -111,3 +111,45 @@ def context_parallel_attention(
         local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec),
         out_specs=q_spec, check_vma=False,
     ))
+
+
+def context_parallel_decode(
+    mesh: Mesh,
+    *,
+    scale: Optional[float] = None,
+    block_kv: int = 2048,
+):
+    """Decode attention over a context-sharded KV cache.
+
+    The serving-scale tier of BASELINE config 5: each chip holds a
+    contiguous slice of every sequence's KV cache; one decode step runs
+    `ops.flash_decode` on the local slice (with the live length clipped
+    into the slice) and merges partials with the cross-chip
+    online-softmax combine.  Communication per token is O(heads * d) —
+    independent of context length.
+
+    Returns a jitted callable (q [b, qh, d], k/v [b, kvh, S, d] sharded
+    on S, kv_lens [b]) -> o [b, qh, d].
+    """
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+
+    q_spec = P(DATA_AXIS, HEAD_AXIS, None)
+    kv_spec = P(DATA_AXIS, HEAD_AXIS, CONTEXT_AXIS, None)
+    len_spec = P(DATA_AXIS)
+
+    def local(q, k_shard, v_shard, kv_lens):
+        shard = jax.lax.axis_index(CONTEXT_AXIS)
+        s_local = k_shard.shape[2]
+        start = shard * s_local
+        # Live length within this shard's slice.
+        local_lens = jnp.clip(kv_lens - start, 0, s_local).astype(jnp.int32)
+        o_i, lse_i = flash_decode(
+            q, k_shard, v_shard, kv_lens=local_lens, scale=scale,
+            block_kv=min(block_kv, s_local), return_residuals=True)
+        return _merge_partials(
+            o_i.astype(jnp.float32), lse_i, CONTEXT_AXIS).astype(q.dtype)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec, len_spec),
+        out_specs=q_spec, check_vma=False,
+    ))

@@ -95,3 +95,46 @@ def test_ring_matches_lse(rng):
         lambda a, b, c: attention_reference(a, b, c, return_residuals=True)
     ))(q, k, v)
     assert max_abs_err(lse, lse_ref) < 1e-4
+
+
+def test_ring_attention_backward(rng):
+    """Differentiable ring: dK/dV accumulators rotate with the shards
+    and land home after the closing ppermute."""
+    mesh = make_mesh(data=1, heads=2, context=4)
+    q, k, v = make_inputs(rng, 1, 2, 256, 64)
+    do = jnp.asarray(
+        np.random.default_rng(1).standard_normal(q.shape), jnp.float32)
+
+    fn = ring_attention(mesh, causal=True)
+    g = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) * do),
+                 (0, 1, 2))(q, k, v)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(golden(q, k, v, causal=True) * do)
+
+    g_ref = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        assert max_abs_err(a, b) < 1e-4, name
+
+
+def test_context_parallel_decode(rng):
+    from metal_flash_attention_tpu.parallel.sharded_attention import (
+        context_parallel_decode,
+    )
+
+    mesh = make_mesh(data=2, heads=1, context=4)
+    b, h, s, d = 2, 4, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    kv_lens = jnp.asarray([100, 450], jnp.int32)
+
+    fn = context_parallel_decode(mesh, block_kv=128)
+    o = fn(q, k, v, kv_lens)
+
+    # golden decode with lengths
+    logits = jnp.einsum("bhd,bhsd->bhs", q, k) / jnp.sqrt(jnp.float32(d))
+    msk = jnp.arange(s)[None, None, :] < kv_lens[:, None, None]
+    p = jax.nn.softmax(jnp.where(msk, logits, -jnp.inf), -1)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", p, v)
+    assert max_abs_err(o, o_ref) < 5e-5
