@@ -10,21 +10,21 @@ vs_baseline is the ratio against the reference's published headline —
 (`/root/reference/README.md:15`).
 
 Timing methodology: this environment reaches the TPU through a network
-tunnel with ~30 ms dispatch round-trip, and `block_until_ready` does
-not synchronize device completion.  Each measurement therefore loops
-the kernel ITERS times *inside one jit* (scalar carry defeats CSE),
-forces a scalar readback, and subtracts the independently measured
-round-trip floor.
+tunnel with ~25-30 ms dispatch round-trip, and `block_until_ready`
+does not synchronize device completion.  Each measurement loops the
+kernel ITERS times *inside one jit* (scalar carry defeats CSE), forces
+a scalar readback, and subtracts the independently measured round-trip
+floor.  At this RTT anything under ~128 iterations shows +/-10pp
+utilization noise.
 
-Detail table goes to stderr.  Roofline: GINSTRS = FLOPS/2, so a TPU
-v5e (197 TFLOP/s bf16) rooflines at ~98,500 GINSTRS/s.
+Detail table (fwd/bwd/causal per head-dim, decode tokens/s per KV
+precision, GEMM TFLOPS) goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -32,60 +32,16 @@ import numpy as np
 
 REFERENCE_HEADLINE_GINSTRS = 4400.0  # M1 Max, README.md:15
 
-# bf16 peak FLOP/s per chip by generation (public specs).
-PEAK_FLOPS = {
-    "v4": 275e12,
-    "v5": 197e12,      # v5e ("v5 lite")
-    "v5p": 459e12,
-    "v6": 918e12,
-    "cpu": 1e12,
-}
-
-# 128 in-jit iterations per measurement: at ~25 ms tunnel round-trip
-# and ~1-3 ms per kernel call, fewer iterations let rtt drift dominate
-# (observed as +/-10pp utilization noise at 32 iterations).
 ITERS = 128
 
 
-def detect_peak() -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    for key in ("v6", "v5p", "v5", "v4"):
-        if key in kind:
-            return PEAK_FLOPS[key]
-    return PEAK_FLOPS["cpu"]
-
-
-def measure_rtt() -> float:
-    """Dispatch + scalar-readback floor of this environment."""
-    f = jax.jit(lambda x: (x * 1.0).sum())
-    x = jnp.zeros((8, 128), jnp.float32)
-    for _ in range(3):
-        float(f(x))
-    best = float("inf")
-    for _ in range(10):
-        t0 = time.perf_counter()
-        float(f(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timed_scalar(fn, *args, repeats=5) -> float:
-    """Best wall time of float(fn(*args))."""
-    for _ in range(2):
-        float(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def bench_attention(n: int, d: int, heads: int, *, rtt: float,
-                    causal=False, with_bwd=False, dtype=jnp.bfloat16):
+def bench_attention(n, d, heads, *, floor, causal=False, with_bwd=False,
+                    dtype=jnp.bfloat16):
     from metal_flash_attention_tpu.ops.flash_attention import (
         flash_attention,
     )
+    from metal_flash_attention_tpu.runtime.context import DeviceContext
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((1, heads, n, d)), dtype)
@@ -105,58 +61,118 @@ def bench_attention(n: int, d: int, heads: int, *, rtt: float,
             return (g[0][0, 0, 0, :1].sum()
                     + g[1][0, 0, 0, :1].sum()
                     + g[2][0, 0, 0, :1].sum())
-
-        ginstrs = (9 * d + 15) * n * n * heads
     else:
         def one(q, k, v):
             o = flash_attention(q, k, v, causal=causal)
             return o[0, 0, 0, :1].astype(jnp.float32).sum()
 
-        ginstrs = (2 * d + 5) * n * n * heads
-    if causal:
-        ginstrs //= 2
+    ginstrs = DeviceContext.get().attention_ginstrs(
+        n, d, heads=heads, with_backward=with_bwd, causal=causal)
+    secs = time_scalar_fn(one, (q, k, v), iters=ITERS,
+                          dispatch_floor=floor)
+    return ginstrs / secs / 1e9  # GINSTRS/s
 
-    @jax.jit
-    def run(q, k, v):
-        def body(c, _):
-            # The scalar carry perturbs q so iterations cannot be CSE'd.
-            s = one(q + c.astype(q.dtype), k, v)
-            return s.astype(jnp.float32) * 0.0, ()
-        c, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), None, length=ITERS)
-        return c
 
-    total = timed_scalar(run, q, k, v)
-    per_call = max((total - rtt) / ITERS, 1e-9)
-    return ginstrs / per_call / 1e9  # GINSTRS/s
+def bench_decode(*, floor, precision=None):
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    from metal_flash_attention_tpu.ops.quantization import quantize
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s = 8, 32, 8, 128, 8192
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    kf = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    if precision is None:
+        k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+    else:
+        k, v = quantize(kf, precision), quantize(vf, precision)
+    lens = jnp.full((batch,), s, jnp.int32)
+
+    # k/v ride as jit ARGUMENTS: closed-over they become compile-time
+    # constants, and a 268 MB constant blows the remote-compile request.
+    def one(q, k, v):
+        o = flash_decode(q, k, v, kv_lens=lens)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    secs = time_scalar_fn(one, (q, k, v), iters=64, dispatch_floor=floor)
+    return batch / secs  # tokens/s/chip
+
+
+def bench_gemm(size, *, floor):
+    from metal_flash_attention_tpu.ops.gemm import gemm
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
+
+    def one(a, b):
+        return gemm(a, b)[0, :1].astype(jnp.float32).sum()
+
+    # Small GEMMs take microseconds; amortize far past the rtt noise.
+    iters = max(ITERS, int(2e9 * ITERS / (2 * size**3)))
+    secs = time_scalar_fn(one, (a, b), iters=iters, dispatch_floor=floor)
+    return 2 * size**3 / secs  # FLOPS
 
 
 def main():
-    backend = jax.default_backend()
-    peak = detect_peak()
-    roofline_ginstrs = peak / 2 / 1e9
-    rtt = measure_rtt()
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.runtime.context import DeviceContext
+    from metal_flash_attention_tpu.utils.profiling import (
+        measure_dispatch_floor,
+    )
+
+    ctx = DeviceContext.get()
+    roof = ctx.roofline_ginstrs_per_s
+    floor = measure_dispatch_floor()
+    err = sys.stderr
+
+    print(f"# backend={jax.default_backend()} device={ctx.device_kind} "
+          f"roofline={roof:.0f} GINSTRS/s rtt={floor * 1e3:.1f}ms",
+          file=err)
 
     rows = []
     headline = None
     for d in (64, 128, 256):
         n = 4096 if d <= 128 else 2048
         heads = 8
-        fwd = bench_attention(n, d, heads, rtt=rtt)
-        fwd_bwd = bench_attention(n, d, heads, rtt=rtt, with_bwd=True)
-        rows.append((d, n, fwd, fwd / roofline_ginstrs,
-                     fwd_bwd, fwd_bwd / roofline_ginstrs))
+        fwd = bench_attention(n, d, heads, floor=floor)
+        fwd_bwd = bench_attention(n, d, heads, floor=floor, with_bwd=True)
+        caus = bench_attention(n, d, heads, floor=floor, causal=True)
+        rows.append((d, n, fwd, fwd / roof, fwd_bwd, fwd_bwd / roof,
+                     caus, caus / roof))
         if d == 128:
             headline = fwd
+    print("#  D     N      fwd GINSTRS/s  util    fwd+bwd   util"
+          "     causal   util", file=err)
+    for d, n, f, fu, b, bu, c, cu in rows:
+        print(f"# {d:4d} {n:5d} {f:12.0f} {fu:6.1%} {b:10.0f} {bu:6.1%}"
+              f" {c:10.0f} {cu:6.1%}", file=err)
 
-    print(f"# backend={backend} device={jax.devices()[0].device_kind} "
-          f"roofline={roofline_ginstrs:.0f} GINSTRS/s rtt={rtt*1e3:.1f}ms",
-          file=sys.stderr)
-    print("#  D     N      fwd GINSTRS/s  util   fwd+bwd     util",
-          file=sys.stderr)
-    for d, n, f, fu, b, bu in rows:
-        print(f"# {d:4d} {n:5d} {f:12.0f} {fu:6.1%} {b:10.0f} {bu:6.1%}",
-              file=sys.stderr)
+    print("# decode tok/s/chip (b=8, 8 KV heads, D=128, S=8192):",
+          file=err)
+    for name, prec in (("bf16", None),
+                       ("int8", OperandPrecision.INT8),
+                       ("fp8_e4m3", OperandPrecision.FP8_E4M3)):
+        try:
+            toks = bench_decode(floor=floor, precision=prec)
+            print(f"#   {name:9s} {toks:10.0f}", file=err)
+        except Exception as e:
+            print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
+
+    for size in (512, 1489, 4096):
+        try:
+            fl = bench_gemm(size, floor=floor)
+            print(f"# gemm bf16 {size}^3: {fl / 1e12:7.1f} TFLOPS "
+                  f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
+        except Exception as e:
+            print(f"# gemm {size}: FAIL {type(e).__name__}", file=err)
 
     print(json.dumps({
         "metric": "attention_fwd_ginstrs_per_s_d128_n4096_bf16",

@@ -142,20 +142,62 @@ def select_block_sizes(
     gens = _TABLES[kernel_type][regime]
     gen = generation or tpu_generation()
     rows = gens.get(gen, gens["default"])
+    bq, bkv = rows[-1].block_q, rows[-1].block_kv
     for row in rows:
         if head_dim <= row.max_head_dim:
-            return row.block_q, row.block_kv
-    last = rows[-1]
-    return last.block_q, last.block_kv
+            bq, bkv = row.block_q, row.block_kv
+            break
+    return clamp_to_vmem(kernel_type, bq, bkv, head_dim, dtype)
+
+
+def clamp_to_vmem(kernel_type, block_q, block_kv, head_dim, dtype,
+                  budget: Optional[int] = None) -> tuple[int, int]:
+    """Shrink block sizes until the kernel's VMEM footprint fits the
+    device budget — the TPU analog of the reference's register-spill
+    policy for large head dimensions (`README.md:13` "even the
+    attention matrix itself can be spilled"; spill machinery
+    `AttentionKernel+Accumulate.swift:116-248`).  On TPU nothing
+    spills: block area shrinks instead, since a D=512 problem at the
+    D=128-tuned blocks would fail to compile against the ~15 MiB
+    scoped-VMEM limit."""
+    if budget is None:
+        from metal_flash_attention_tpu.runtime.context import (
+            DeviceContext,
+        )
+        # The full measured scratch limit: the estimate below is
+        # already conservative (Mosaic reuses dead buffers), and the
+        # D=128 backward at (512, 2048) — estimate 13.6 MiB — compiles
+        # and runs at 87% of roofline.
+        budget = DeviceContext.get().info.vmem_bytes
+    itemsize = jnp.dtype(dtype).itemsize
+    d_pad = -(-head_dim // 128) * 128 if head_dim > 128 else head_dim
+    is_bwd = kernel_type.startswith("backward")
+    while (vmem_bytes(block_q, block_kv, d_pad, itemsize,
+                      backward=is_bwd) > budget
+           and (block_q > 128 or block_kv > 128)):
+        if block_kv >= block_q and block_kv > 128:
+            block_kv //= 2
+        else:
+            block_q //= 2
+    return block_q, block_kv
 
 
 def vmem_bytes(
     block_q: int, block_kv: int, head_dim_padded: int, itemsize: int,
+    *, backward: bool = False,
 ) -> int:
-    """Forward-kernel VMEM footprint: Q/K/V blocks + scores + (m, l, acc)
-    scratch.  The TPU analog of the reference's
-    `threadgroupMemoryAllocation` (AttentionKernel.swift:321-412)."""
-    qkv = (block_q + 2 * block_kv) * head_dim_padded * itemsize
-    scores = block_q * block_kv * 4
-    scratch = block_q * 128 * 4 * 2 + block_q * head_dim_padded * 4
-    return qkv + scores + scratch
+    """Kernel VMEM footprint: double-buffered Q/K/V(/dO) blocks +
+    score/probability halves + accumulator scratch.  The TPU analog of
+    the reference's `threadgroupMemoryAllocation`
+    (AttentionKernel.swift:321-412)."""
+    operands = (block_q + 2 * block_kv) * head_dim_padded * itemsize
+    if backward:
+        operands += block_q * head_dim_padded * itemsize  # dO
+    # Pallas double-buffers pipelined inputs.
+    operands *= 2
+    # s/p tiles for both pipeline halves, f32 (+dP for backward).
+    scores = block_q * block_kv * 4 * (2 if backward else 1)
+    scratch = (block_q * 128 * 4 * 2
+               + (2 if backward else 1) * max(block_q, block_kv)
+               * head_dim_padded * 4)
+    return operands + scores + scratch

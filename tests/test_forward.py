@@ -261,3 +261,27 @@ def test_backward_mask2(rng):
     g_ref = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(g, g_ref):
         assert max_abs_err(a, b) < 5 * fp32_kernel_tol()
+
+
+def test_forward_large_head_dim_512(rng):
+    """D > 256 exercises the VMEM block clamp (the reference's
+    register-spill analog, README.md:13)."""
+    n, d = 256, 512
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True)
+    o_ref, lse_ref = golden_batched(q, k, v, causal=True)
+    assert max_abs_err(o, o_ref) < 2 * fp32_kernel_tol()
+    assert max_abs_err(lse[..., None], lse_ref[..., None]) < 1e-4
+
+
+def test_block_clamp_fits_budget():
+    from metal_flash_attention_tpu.descriptors.parameters import (
+        clamp_to_vmem,
+        vmem_bytes,
+    )
+    bq, bkv = clamp_to_vmem("forward", 1024, 2048, 512, jnp.bfloat16,
+                            budget=15 * 2**20)
+    assert vmem_bytes(bq, bkv, 512, 2) <= 15 * 2**20
+    # Small D keeps the tuned blocks untouched.
+    assert clamp_to_vmem("forward", 1024, 2048, 128, jnp.bfloat16,
+                         budget=15 * 2**20) == (1024, 2048)
