@@ -75,11 +75,11 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
             ),
         },
         "mixed": {
+            # Measured on v5e: (1024, 1024) wins at every head dim —
+            # causal wants square-ish blocks (skip waste scales with
+            # block_kv / block_q, overlap with block area).
             "default": (
-                ParameterRow(64, 512, 1024),
-                ParameterRow(128, 1024, 1024),
-                ParameterRow(256, 512, 1024),
-                ParameterRow(8192, 256, 1024),
+                ParameterRow(8192, 1024, 1024),
             ),
         },
     },

@@ -54,6 +54,28 @@ from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 GROUP_PAD = 8
 
 
+def _decode_via_prefill(q, k, v, *, kv_lens, scale, interpret,
+                        return_residuals):
+    """Decode through the prefill kernel (NF4 path): queries become
+    length-1 rows; per-sequence lengths become an external mask."""
+    from metal_flash_attention_tpu.ops.flash_attention import (
+        flash_attention_forward,
+    )
+
+    max_seq = k.values.shape[2]
+    mask = None
+    if kv_lens is not None:
+        mask = (jnp.arange(max_seq)[None, None, None, :]
+                < kv_lens[:, None, None, None])
+    o, lse = flash_attention_forward(
+        q[:, :, None, :], k, v, mask=mask, scale=scale,
+        interpret=interpret)
+    o = o[:, :, 0]
+    if return_residuals:
+        return o, lse[:, :, 0]
+    return o
+
+
 def _make_decode_kernel(
     *,
     group: int,
@@ -179,8 +201,14 @@ def flash_decode(
         assert isinstance(v, QuantizedTensor)
         assert v.precision == k.precision
         kv_precision = k.precision
-        assert kv_precision is not OperandPrecision.NF4, (
-            "NF4 decode: use the prefill kernel (packed-lane layout)")
+        if kv_precision is OperandPrecision.NF4:
+            # NF4's nibble-packed lane layout needs the prefill
+            # kernel's Q-lane shuffle; route through it (rows padded to
+            # the lane width — slower, but NF4 is a capacity tier, not
+            # a latency tier).
+            return _decode_via_prefill(
+                q, k, v, kv_lens=kv_lens, scale=scale,
+                interpret=interpret, return_residuals=return_residuals)
         k_scales, v_scales = k.scales, v.scales
         k, v = k.values, v.values
 

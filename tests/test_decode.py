@@ -129,3 +129,18 @@ def test_decode_step_appends_and_attends(rng):
     assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
     # Cache rows beyond the live length remain zero.
     assert float(jnp.max(jnp.abs(k_cache[:, :, 3:]))) == 0.0
+
+
+def test_decode_nf4_via_prefill(rng):
+    batch, q_heads, kv_heads, s, d = 1, 4, 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    kq = quantize(k, OperandPrecision.NF4)
+    vq = quantize(v, OperandPrecision.NF4)
+    kv_lens = jnp.asarray([200], jnp.int32)
+    o = flash_decode(q, kq, vq, kv_lens=kv_lens)
+    o_ref = golden_decode(q, dequantize(kq), dequantize(vq),
+                          kv_lens=kv_lens)
+    assert o.shape == (batch, q_heads, d)
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
