@@ -1,0 +1,287 @@
+"""Paged decode attention: block-table KV cache (Pallas / TPU).
+
+The production-serving memory layout the reference stops short of
+(its fork ships the quantized-KV *kernels* for Draw Things serving;
+the cache management lives in the host app).  Pages make continuous
+batching allocation-free: K/V live in a global pool of fixed-size
+pages, each sequence owns an ordered page list, and growing a sequence
+never copies or reallocates — the TPU analog of vLLM's paged KV, built
+on scalar prefetch:
+
+- the page table rides as a `PrefetchScalarGridSpec` scalar argument,
+  so the K/V BlockSpec *index maps* dereference it — the DMA engine
+  walks the page list directly, no gather op in the kernel body;
+- dead trailing pages clamp onto the sequence's last live page
+  (fetched anyway), so ragged batches pay no dead bandwidth;
+- the per-page softmax partial is the same online (m, l, acc) update
+  as every other kernel here, so paged partials merge with unpaged
+  ones (e.g. a dense bf16 tail) by the standard lse combine.
+
+Layout: pool [num_pages, kv_heads, page_size, head_dim]; page_table
+[batch, max_pages] int32 (entries beyond a sequence's live pages are
+ignored); lengths [batch] int32 total live tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from metal_flash_attention_tpu.ops.flash_attention import (
+    LOG2E,
+    LN2,
+    MASK_VALUE,
+    MIN_LANES,
+    RESIDUAL_SUBLANES,
+)
+from metal_flash_attention_tpu.ops.flash_decode import GROUP_PAD
+from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
+
+
+class PagedKVCache(NamedTuple):
+    """A paged KV pool plus per-sequence bookkeeping."""
+    k_pages: jax.Array      # [num_pages, kv_heads, page_size, d]
+    v_pages: jax.Array
+    page_table: jax.Array   # [batch, max_pages] int32
+    lengths: jax.Array      # [batch] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+
+# Pages gathered per compute chunk: one [group, G*page_size] score tile
+# amortizes the fixed small-op latencies that dominate per-page
+# processing (single-page loops measured latency-bound at 20% of HBM
+# speed-of-light regardless of grid vs in-kernel looping).
+PAGES_PER_CHUNK = 8
+
+
+def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
+                       scale, out_dtype):
+    """Grid = (batch, kv_heads); the page walk happens inside one
+    kernel invocation: each chunk issues PAGES_PER_CHUNK parallel page
+    DMAs into a contiguous scratch strip (double-buffered), then runs
+    one online-softmax update over the whole strip."""
+    scale_log2e = scale * LOG2E
+    G = PAGES_PER_CHUNK
+    chunk = G * page_size
+
+    def kernel(table_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, l_ref,
+               k_scr, v_scr, sems):
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        kv_len = lens_ref[b]
+        n_pages = pl.cdiv(kv_len, page_size)
+        n_chunks = pl.cdiv(n_pages, G)
+        last_page = jnp.maximum(n_pages - 1, 0)
+
+        q = q_ref[0, 0]
+        q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
+
+        def page_dmas(c, slot):
+            """The G page copies of chunk c (overshooting page indices
+            clamp onto the last live page; their columns are masked)."""
+            dmas = []
+            for g in range(G):
+                j = jnp.minimum(c * G + g, last_page)
+                page = table_ref[b, j]
+                dmas.append(pltpu.make_async_copy(
+                    k_hbm.at[page, h],
+                    k_scr.at[slot, pl.ds(g * page_size, page_size)],
+                    sems.at[slot, g, 0]))
+                dmas.append(pltpu.make_async_copy(
+                    v_hbm.at[page, h],
+                    v_scr.at[slot, pl.ds(g * page_size, page_size)],
+                    sems.at[slot, g, 1]))
+            return dmas
+
+        @pl.when(n_chunks > 0)
+        def _():
+            for dma in page_dmas(0, 0):
+                dma.start()
+
+        def body(c, carry):
+            m_prev, l_prev, acc = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in page_dmas(c + 1, jax.lax.rem(c + 1, 2)):
+                    dma.start()
+
+            for dma in page_dmas(c, slot):
+                dma.wait()
+            k = k_scr[slot]
+            v = v_scr[slot]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [group_pad, chunk]
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (group_pad, chunk), 1) + c * chunk
+            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+            m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_next, l_next, acc * alpha[:, :1] + pv
+
+        m0 = jnp.full((group_pad, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((group_pad, 1), jnp.float32)
+        acc0 = jnp.zeros((group_pad, d_pad), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc / safe_l).astype(out_dtype)
+        lse2 = jnp.where(l[:, 0] > 0.0,
+                         m[:, 0] + jnp.log2(l[:, 0]), -jnp.inf)
+        l_ref[0, 0] = jnp.broadcast_to(
+            (lse2 * LN2)[None, :], l_ref.shape[2:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "return_residuals"))
+def paged_decode(
+    q: jax.Array,
+    cache: PagedKVCache,
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    return_residuals: bool = False,
+):
+    """Decode one token per sequence against a paged KV pool.
+
+    q: [batch, q_heads, head_dim]; returns o [batch, q_heads, head_dim]
+    (+ lse for cross-segment merging).
+    """
+    batch, q_heads, head_dim = q.shape
+    num_pages, kv_heads, page_size, _ = cache.k_pages.shape
+    max_pages = cache.page_table.shape[1]
+    assert q_heads % kv_heads == 0
+    group = q_heads // kv_heads
+    group_pad = round_up(group, GROUP_PAD)
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    assert page_size % MIN_LANES == 0 or page_size % 8 == 0, page_size
+
+    if head_dim < MIN_LANES and head_dim % 8 == 0:
+        d_pad = head_dim
+    else:
+        d_pad = round_up(head_dim, MIN_LANES)
+
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    qg = pad_to(qg, (batch, kv_heads, group_pad, d_pad))
+    kp = pad_to(cache.k_pages,
+                (num_pages, kv_heads, page_size, d_pad))
+    vp = pad_to(cache.v_pages,
+                (num_pages, kv_heads, page_size, d_pad))
+
+    kernel = _make_paged_kernel(
+        group=group, group_pad=group_pad, page_size=page_size,
+        d_pad=d_pad, scale=scale, out_dtype=q.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, kv_heads),
+        in_specs=[
+            pl.BlockSpec((1, 1, group_pad, d_pad),
+                         lambda b, h, *p: (b, h, 0, 0)),
+            # K/V pools stay in HBM; the kernel walks the page table
+            # with its own double-buffered DMA.
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, group_pad, d_pad),
+                         lambda b, h, *p: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, group_pad),
+                         lambda b, h, *p: (b, h, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAGES_PER_CHUNK * page_size, d_pad), kp.dtype),
+            pltpu.VMEM((2, PAGES_PER_CHUNK * page_size, d_pad), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, PAGES_PER_CHUNK, 2)),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads, group_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads, RESIDUAL_SUBLANES, group_pad),
+                jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(cache.page_table.astype(jnp.int32),
+      cache.lengths.astype(jnp.int32), qg, kp, vp)
+
+    o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
+    if return_residuals:
+        lse = lse[:, :, 0, :group].reshape(batch, q_heads)
+        return o, lse
+    return o
+
+
+def init_paged_cache(*, num_pages: int, kv_heads: int, page_size: int,
+                     head_dim: int, batch: int, max_pages: int,
+                     dtype=jnp.bfloat16) -> PagedKVCache:
+    """Empty pool with an unassigned (-0-filled) page table."""
+    return PagedKVCache(
+        k_pages=jnp.zeros((num_pages, kv_heads, page_size, head_dim),
+                          dtype),
+        v_pages=jnp.zeros((num_pages, kv_heads, page_size, head_dim),
+                          dtype),
+        page_table=jnp.zeros((batch, max_pages), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+@jax.jit
+def paged_append(cache: PagedKVCache, new_k: jax.Array,
+                 new_v: jax.Array) -> PagedKVCache:
+    """Append one token per sequence at its live position.
+
+    new_k/new_v: [batch, kv_heads, head_dim].  The page for the new
+    position must already be assigned in the page table (allocation is
+    host-side bookkeeping — it is O(1) pointer assignment, exactly the
+    part paging makes cheap).
+    """
+    page_size = cache.page_size
+
+    def write(pages, new):
+        def per_seq(pages, n, length, table):
+            page = table[length // page_size]
+            off = length % page_size
+            return pages.at[page, :, off, :].set(
+                n.astype(pages.dtype))
+        # Sequential fold over the batch: two sequences may share no
+        # page, but the .at updates compose regardless of order.
+        for b in range(new.shape[0]):
+            pages = per_seq(pages, new[b], cache.lengths[b],
+                            cache.page_table[b])
+        return pages
+
+    k_pages = write(cache.k_pages, new_k)
+    v_pages = write(cache.v_pages, new_v)
+    return PagedKVCache(k_pages, v_pages, cache.page_table,
+                        cache.lengths + 1)

@@ -1,0 +1,119 @@
+"""Paged decode attention: block-table KV pool."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.ops.paged_attention import (
+    PagedKVCache,
+    init_paged_cache,
+    paged_append,
+    paged_decode,
+)
+from tests.test_decode import golden_decode
+
+
+def build_paged(rng, *, batch, kv_heads, d, page_size, lengths,
+                max_pages, shuffle=True):
+    """Build a paged cache holding random data, plus the equivalent
+    dense [batch, kv_heads, S, d] arrays for the golden model."""
+    num_pages = batch * max_pages + 3
+    k_pool = rng.standard_normal(
+        (num_pages, kv_heads, page_size, d)).astype(np.float32)
+    v_pool = rng.standard_normal(
+        (num_pages, kv_heads, page_size, d)).astype(np.float32)
+    # Assign pages non-contiguously (shuffled) to exercise the
+    # indirection; page 0 is kept as the "null" page.
+    perm = np.arange(1, num_pages)
+    if shuffle:
+        np.random.default_rng(7).shuffle(perm)
+    table = np.zeros((batch, max_pages), np.int32)
+    s_max = max_pages * page_size
+    k_dense = np.zeros((batch, kv_heads, s_max, d), np.float32)
+    v_dense = np.zeros((batch, kv_heads, s_max, d), np.float32)
+    next_page = 0
+    for b in range(batch):
+        n_pages = -(-lengths[b] // page_size)
+        for p in range(n_pages):
+            pid = perm[next_page]; next_page += 1
+            table[b, p] = pid
+            lo, hi = p * page_size, (p + 1) * page_size
+            k_dense[b, :, lo:hi] = k_pool[pid].transpose(0, 1, 2)
+            v_dense[b, :, lo:hi] = v_pool[pid]
+    cache = PagedKVCache(
+        k_pages=jnp.asarray(k_pool), v_pages=jnp.asarray(v_pool),
+        page_table=jnp.asarray(table),
+        lengths=jnp.asarray(lengths, jnp.int32))
+    return cache, jnp.asarray(k_dense), jnp.asarray(v_dense)
+
+
+@pytest.mark.parametrize("q_heads,kv_heads,d", [(4, 4, 64), (8, 2, 128)])
+def test_paged_decode_matches_golden(rng, q_heads, kv_heads, d):
+    batch, page_size, max_pages = 2, 128, 4
+    lengths = [300, 512]
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    o = paged_decode(q, cache)
+    o_ref = golden_decode(q, kd, vd, kv_lens=cache.lengths)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_paged_decode_ragged_and_partial_page(rng):
+    batch, kv_heads, d, page_size, max_pages = 3, 2, 64, 128, 4
+    lengths = [1, 129, 500]   # partial pages everywhere
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    q = jnp.asarray(rng.standard_normal((batch, 2, d)), jnp.float32)
+    o = paged_decode(q, cache)
+    o_ref = golden_decode(q, kd, vd, kv_lens=cache.lengths)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_paged_residuals_merge_with_dense(rng):
+    """Paged partials merge with a dense segment by the lse combine —
+    the quantized-prefix + tail serving pattern over pages."""
+    batch, h, d, page_size, max_pages = 1, 2, 64, 128, 2
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=h, d=d, page_size=page_size,
+        lengths=[256], max_pages=max_pages)
+    q = jnp.asarray(rng.standard_normal((batch, h, d)), jnp.float32)
+    tail_k = jnp.asarray(rng.standard_normal((batch, h, 64, d)), jnp.float32)
+    tail_v = jnp.asarray(rng.standard_normal((batch, h, 64, d)), jnp.float32)
+
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    o1, lse1 = paged_decode(q, cache, return_residuals=True)
+    o2, lse2 = flash_decode(q, tail_k, tail_v, return_residuals=True,
+                            block_kv=128)
+    lse = jnp.logaddexp(lse1, lse2)
+    o = (o1 * jnp.exp(lse1 - lse)[..., None]
+         + o2 * jnp.exp(lse2 - lse)[..., None])
+
+    k_all = jnp.concatenate([kd, tail_k], axis=2)
+    v_all = jnp.concatenate([vd, tail_v], axis=2)
+    o_ref = golden_decode(q, k_all, v_all)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_paged_append_then_decode(rng):
+    batch, kv_heads, q_heads, d, page_size = 2, 2, 4, 64, 128
+    cache = init_paged_cache(
+        num_pages=8, kv_heads=kv_heads, page_size=page_size,
+        head_dim=d, batch=batch, max_pages=2, dtype=jnp.float32)
+    # Assign disjoint pages: seq0 -> pages 1,2; seq1 -> pages 3,4.
+    cache = cache._replace(
+        page_table=jnp.asarray([[1, 2], [3, 4]], jnp.int32))
+    ks = rng.standard_normal((3, batch, kv_heads, d)).astype(np.float32)
+    vs = rng.standard_normal((3, batch, kv_heads, d)).astype(np.float32)
+    for t in range(3):
+        cache = paged_append(cache, jnp.asarray(ks[t]), jnp.asarray(vs[t]))
+    assert cache.lengths.tolist() == [3, 3]
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    o = paged_decode(q, cache)
+    k_dense = jnp.asarray(ks).transpose(1, 2, 0, 3)  # [b, h, 3, d]
+    v_dense = jnp.asarray(vs).transpose(1, 2, 0, 3)
+    o_ref = golden_decode(q, k_dense, v_dense)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
