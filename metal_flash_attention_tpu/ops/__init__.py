@@ -13,6 +13,12 @@ from metal_flash_attention_tpu.ops.flash_decode import (
     flash_decode,
 )
 from metal_flash_attention_tpu.ops.gemm import batched_gemm, gemm
+from metal_flash_attention_tpu.ops.paged_attention import (
+    PagedKVCache,
+    init_paged_cache,
+    paged_append,
+    paged_decode,
+)
 from metal_flash_attention_tpu.ops.quantization import (
     QuantizedTensor,
     dequantize,
@@ -30,6 +36,10 @@ __all__ = [
     "flash_attention_backward",
     "flash_decode",
     "decode_step",
+    "paged_decode",
+    "paged_append",
+    "init_paged_cache",
+    "PagedKVCache",
     "gemm",
     "batched_gemm",
     "quantize",
