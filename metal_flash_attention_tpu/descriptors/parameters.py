@@ -44,10 +44,14 @@ class ParameterRow:
 # (AttentionDescriptor+Parameters.swift:13-39): full fp32 vs mixed.
 _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
     "forward": {
+        # fp32 = HIGHEST-precision multi-pass bf16 emulation on the
+        # MXU; measured ceiling ~1/6 of the bf16 roofline, reached at
+        # these rows (15.6% of bf16 roofline at D=128).
         "fp32": {
             "default": (
-                ParameterRow(128, 512, 1024),
-                ParameterRow(8192, 256, 512),
+                ParameterRow(64, 1024, 1024),
+                ParameterRow(128, 512, 2048),
+                ParameterRow(8192, 512, 1024),
             ),
         },
         "mixed": {

@@ -147,6 +147,7 @@ def _make_fwd_kernel(
     has_mask: bool,
     has_mask2: bool,
     has_bias: bool,
+    has_segments: bool,
     kv_pad: bool,
     out_dtype,
     precision=None,
@@ -170,6 +171,8 @@ def _make_fwd_kernel(
         mask_ref = next(it) if has_mask else None
         mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
+        qseg_ref = next(it) if has_segments else None
+        kvseg_ref = next(it) if has_segments else None
         o_ref = next(it)
         l_ref = next(it)
         m_scr = next(it)
@@ -253,13 +256,14 @@ def _make_fwd_kernel(
             # as possible instead.  The (cols - rows) delta matrix is
             # a grid-invariant iota, so each mask condition is ONE
             # compare against a scalar threshold.
-            any_struct = causal or window_size is not None or kv_pad
-            # Rows with zero visible columns (only possible when the
-            # causal diagonal starts below row 0, i.e. q_len > kv_len)
-            # need the explicit p-zero select; otherwise exp2(MASK - m)
-            # underflows to exactly 0 on its own.
-            needs_p_zero = ((causal or window_size is not None)
-                            and offset < 0)
+            any_struct = (causal or window_size is not None or kv_pad
+                          or has_segments)
+            # Rows with zero visible columns (when the causal diagonal
+            # starts below row 0, or when a q token's segment has no
+            # kv tokens) need the explicit p-zero select; otherwise
+            # exp2(MASK - m) underflows to exactly 0 on its own.
+            needs_p_zero = (((causal or window_size is not None)
+                             and offset < 0) or has_segments)
             if any_struct:
                 delta = (jax.lax.broadcasted_iota(
                              jnp.int32, (block_q, half), 1)
@@ -268,12 +272,22 @@ def _make_fwd_kernel(
                 col_static = jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, half), 1)
 
+            if has_segments:
+                # Segment ids: q ids along sublanes ([bq, 1] slice of
+                # the lane-duplicated layout), kv ids along lanes.
+                qseg = qseg_ref[0, :, :1]              # [bq, 1]
+
             def struct_mask(u):
                 # delta <= thr  <=>  cols <= rows + offset
                 em = None
+                if has_segments:
+                    kvseg = kvseg_ref[0, 0:1,
+                                      u * half:(u + 1) * half]  # [1, half]
+                    em = qseg == kvseg
                 if causal:
                     thr = i * block_q + offset - j * block_kv - u * half
-                    em = delta <= thr
+                    em_c = delta <= thr
+                    em = em_c if em is None else jnp.logical_and(em, em_c)
                 if window_size is not None:
                     thr_w = (i * block_q + offset - window_size
                              - j * block_kv - u * half)
@@ -364,6 +378,8 @@ def flash_attention_forward(
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     mask2: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
@@ -387,6 +403,10 @@ def flash_attention_forward(
             buffer 11).
         mask2: optional second mask, combined with ``mask`` by AND
             (reference fork operand `attnMask2` @ buffer 12).
+        q_segment_ids / kv_segment_ids: optional int32 [batch, q_len] /
+            [batch, kv_len] for packed-sequence training; position
+            pairs attend only within equal segment ids.  O(N) memory —
+            the in-kernel compare replaces an O(N^2) external mask.
         window_size: sliding window width (reference `windowSize`,
             AttentionDescriptor.swift:57); position r attends to
             columns in (r + offset - window, r + offset].
@@ -480,6 +500,9 @@ def flash_attention_forward(
     has_mask2 = mask2 is not None
     assert not (has_mask2 and not has_mask), "mask2 requires mask"
     has_bias = bias is not None
+    has_segments = q_segment_ids is not None
+    assert has_segments == (kv_segment_ids is not None), \
+        "q_segment_ids and kv_segment_ids must come together"
     kv_pad = c_pad != kv_len
 
     num_q_blocks = r_pad // block_q
@@ -543,6 +566,29 @@ def flash_attention_forward(
         bp = pad_to(bias, bias.shape[:2] + (r_pad, c_pad))
         in_specs.append(_aux_spec(bp))
         inputs.append(bp)
+    if has_segments:
+        # q ids lane-duplicated (so the kernel slices a [bq, 1] column
+        # with no relayout); kv ids sublane-duplicated.  Padded rows
+        # get -1 / cols get -2: never equal, so padding self-masks.
+        qs = jnp.pad(q_segment_ids.astype(jnp.int32),
+                     ((0, 0), (0, r_pad - q_len)), constant_values=-1)
+        ks = jnp.pad(kv_segment_ids.astype(jnp.int32),
+                     ((0, 0), (0, c_pad - kv_len)), constant_values=-2)
+        qs_lanes = jnp.broadcast_to(
+            qs[:, :, None], (batch, r_pad, MIN_LANES))
+        ks_sub = jnp.broadcast_to(
+            ks[:, None, :], (batch, RESIDUAL_SUBLANES, c_pad))
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, MIN_LANES), lambda b, h, i, j: (b, i, 0)))
+        inputs.append(qs_lanes)
+
+        def kvseg_index(b, h, i, j):
+            _, _, jj, _ = kv_index(b, h, i, j)
+            return (b, 0, jj)
+
+        in_specs.append(pl.BlockSpec(
+            (1, RESIDUAL_SUBLANES, block_kv), kvseg_index))
+        inputs.append(ks_sub)
 
     out_dtype = q.dtype
     # FP32 inputs demand true FP32 MXU passes (the reference's FP32
@@ -555,7 +601,7 @@ def flash_attention_forward(
         num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
-        has_bias=has_bias,
+        has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
     )
@@ -609,6 +655,8 @@ def flash_attention(
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     mask2: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window_size: Optional[int] = None,
@@ -630,7 +678,8 @@ def flash_attention(
         # quantized KV).
         o, lse = flash_attention_forward(
             q, k, v, causal=causal, window_size=window_size, mask=mask,
-            bias=bias, mask2=mask2, scale=scale,
+            bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids, scale=scale,
             block_q=block_q, block_kv=block_kv,
             interpret=interpret,
         )
@@ -641,7 +690,8 @@ def flash_attention(
     )
 
     o, lse = _flash_attention_vjp(
-        q, k, v, mask, bias, mask2, causal, window_size, scale,
+        q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
+        causal, window_size, scale,
         block_q, block_kv, interpret,
     )
     if return_residuals:

@@ -73,14 +73,15 @@ from metal_flash_attention_tpu.utils.shapes import round_up, pad_to
 
 def _make_dq_kernel(
     *, block_q, block_kv, num_halves, num_kv_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_mask2, has_bias, kv_pad,
-    emit_dbias, out_dtype, precision=None,
+    causal, window_size, has_mask, has_mask2, has_bias, has_segments,
+    kv_pad, emit_dbias, out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
     half = block_kv // num_halves
     needs_when = causal or window_size is not None
-    any_struct = causal or window_size is not None or kv_pad
+    any_struct = (causal or window_size is not None or kv_pad
+                  or has_segments)
 
     def kernel(*refs):
         it = iter(refs)
@@ -88,6 +89,8 @@ def _make_dq_kernel(
         mask_ref = next(it) if has_mask else None
         mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
+        qseg_ref = next(it) if has_segments else None
+        kvseg_ref = next(it) if has_segments else None
         dq_ref = next(it)
         dbias_ref = next(it) if emit_dbias else None
         dq_acc = next(it)
@@ -118,11 +121,19 @@ def _make_dq_kernel(
                 col_static = jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, half), 1)
 
+            if has_segments:
+                qseg = qseg_ref[0, :, :1]              # [bq, 1]
+
             def struct_mask(u):
                 em = None
+                if has_segments:
+                    kvseg = kvseg_ref[0, 0:1,
+                                      u * half:(u + 1) * half]
+                    em = qseg == kvseg
                 if causal:
                     thr = i * block_q + offset - j * block_kv - u * half
-                    em = delta <= thr
+                    em_c = delta <= thr
+                    em = em_c if em is None else jnp.logical_and(em, em_c)
                 if window_size is not None:
                     thr_w = (i * block_q + offset - window_size
                              - j * block_kv - u * half)
@@ -206,14 +217,15 @@ def _make_dq_kernel(
 
 def _make_dkv_kernel(
     *, block_q, block_kv, num_halves, num_q_blocks, q_len, kv_len, scale,
-    causal, window_size, has_mask, has_mask2, has_bias, kv_pad,
-    out_dtype, precision=None,
+    causal, window_size, has_mask, has_mask2, has_bias, has_segments,
+    kv_pad, out_dtype, precision=None,
 ):
     scale_log2e = scale * LOG2E
     offset = kv_len - q_len
     half = block_q // num_halves
     needs_when = causal or window_size is not None
-    any_struct = causal or window_size is not None or kv_pad
+    any_struct = (causal or window_size is not None or kv_pad
+                  or has_segments)
 
     def kernel(*refs):
         it = iter(refs)
@@ -221,6 +233,8 @@ def _make_dkv_kernel(
         mask_ref = next(it) if has_mask else None
         mask2_ref = next(it) if has_mask2 else None
         bias_ref = next(it) if has_bias else None
+        qseg_ref = next(it) if has_segments else None
+        kvseg_ref = next(it) if has_segments else None
         dk_ref = next(it)
         dv_ref = next(it)
         dk_acc = next(it)
@@ -248,11 +262,18 @@ def _make_dkv_kernel(
                 col_static = jax.lax.broadcasted_iota(
                     jnp.int32, (half, block_kv), 1)
 
+            if has_segments:
+                kvseg = kvseg_ref[0, 0:1, :]           # [1, bkv]
+
             def struct_mask(u):
                 em = None
                 row0 = i * block_q + u * half
+                if has_segments:
+                    qseg = qseg_ref[0, u * half:(u + 1) * half, :1]
+                    em = qseg == kvseg
                 if causal:
-                    em = delta <= row0 + offset - j * block_kv
+                    em_c = delta <= row0 + offset - j * block_kv
+                    em = em_c if em is None else jnp.logical_and(em, em_c)
                 if window_size is not None:
                     em_w = delta > row0 + offset - window_size - j * block_kv
                     em = em_w if em is None else jnp.logical_and(em, em_w)
@@ -342,7 +363,7 @@ def flash_attention_backward(
     q, k, v, do, o, lse,
     *,
     causal=False, window_size=None, mask=None, bias=None, mask2=None,
-    scale=None,
+    q_segment_ids=None, kv_segment_ids=None, scale=None,
     block_q=None, block_kv=None, interpret=None, compute_dbias=False,
 ):
     """Run both backward kernels; returns (dq, dk, dv[, dbias]).
@@ -406,8 +427,23 @@ def flash_attention_backward(
     has_mask = mask is not None
     has_mask2 = mask2 is not None
     has_bias = bias is not None
+    has_segments = q_segment_ids is not None
     kv_pad = c_pad != kv_len
     offset = kv_len - q_len
+
+    qs_lanes = ks_sub = None
+    if has_segments:
+        from metal_flash_attention_tpu.ops.flash_attention import (
+            MIN_LANES as _ML,
+        )
+        qs = jnp.pad(q_segment_ids.astype(jnp.int32),
+                     ((0, 0), (0, r_pad - q_len)), constant_values=-1)
+        ks = jnp.pad(kv_segment_ids.astype(jnp.int32),
+                     ((0, 0), (0, c_pad - kv_len)), constant_values=-2)
+        qs_lanes = jnp.broadcast_to(
+            qs[:, :, None], (batch, r_pad, _ML))
+        ks_sub = jnp.broadcast_to(
+            ks[:, None, :], (batch, RESIDUAL_SUBLANES, c_pad))
 
     def _aux_spec(a):
         # Broadcast (size 1) or repeat (divisor) batch/head dims via
@@ -458,6 +494,19 @@ def flash_attention_backward(
         dq_specs.append(_aux_spec(mp2)); dq_inputs.append(mp2)
     if has_bias:
         dq_specs.append(_aux_spec(bp)); dq_inputs.append(bp)
+    if has_segments:
+        dq_specs.append(pl.BlockSpec(
+            (1, block_q, qs_lanes.shape[-1]),
+            lambda b, h, i, j: (b, i, 0)))
+        dq_inputs.append(qs_lanes)
+
+        def kvseg_index(b, h, i, j):
+            _, _, jj, _ = kv_index(b, h, i, j)
+            return (b, 0, jj)
+
+        dq_specs.append(pl.BlockSpec(
+            (1, RESIDUAL_SUBLANES, block_kv), kvseg_index))
+        dq_inputs.append(ks_sub)
 
     emit_dbias = compute_dbias and has_bias
     dq_out_specs = [
@@ -479,7 +528,7 @@ def flash_attention_backward(
         num_kv_blocks=num_kv_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
-        has_bias=has_bias,
+        has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, emit_dbias=emit_dbias,
         out_dtype=q.dtype, precision=precision,
     )
@@ -559,13 +608,22 @@ def flash_attention_backward(
         dkv_specs.append(_aux_spec_t(mp2)); dkv_inputs.append(mp2)
     if has_bias:
         dkv_specs.append(_aux_spec_t(bp)); dkv_inputs.append(bp)
+    if has_segments:
+        dkv_specs.append(pl.BlockSpec(
+            (1, block_q, qs_lanes.shape[-1]),
+            lambda b, h, j, i: (b, q_index_t(b, h, j, i)[2], 0)))
+        dkv_inputs.append(qs_lanes)
+        dkv_specs.append(pl.BlockSpec(
+            (1, RESIDUAL_SUBLANES, block_kv),
+            lambda b, h, j, i: (b, 0, j)))
+        dkv_inputs.append(ks_sub)
 
     dkv_kernel = _make_dkv_kernel(
         block_q=block_q, block_kv=block_kv, num_halves=nh_q,
         num_q_blocks=num_q_blocks,
         q_len=q_len, kv_len=kv_len, scale=scale, causal=causal,
         window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
-        has_bias=has_bias,
+        has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=jnp.float32,
         precision=precision,
     )
@@ -613,38 +671,45 @@ def flash_attention_backward(
 # custom_vjp wiring
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash_attention_vjp(
-    q, k, v, mask, bias, mask2,
+    q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
     causal, window_size, scale, block_q, block_kv, interpret,
 ):
     return flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
-        bias=bias, mask2=mask2, scale=scale,
+        bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, scale=scale,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
 
 
-def _vjp_fwd(q, k, v, mask, bias, mask2,
+def _vjp_fwd(q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
              causal, window_size, scale, block_q, block_kv, interpret):
     o, lse = flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
-        bias=bias, mask2=mask2, scale=scale,
+        bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, scale=scale,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
-    return (o, lse), (q, k, v, mask, bias, mask2, o, lse)
+    return (o, lse), (q, k, v, mask, bias, mask2, q_segment_ids,
+                      kv_segment_ids, o, lse)
 
 
 def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
              residuals, cotangents):
-    q, k, v, mask, bias, mask2, o, lse = residuals
+    (q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
+     o, lse) = residuals
     do, _dlse = cotangents
     out = flash_attention_backward(
         q, k, v, do, o, lse,
         causal=causal, window_size=window_size, mask=mask, bias=bias,
-        mask2=mask2, scale=scale, block_q=None, block_kv=None,
+        mask2=mask2, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, scale=scale,
+        block_q=None, block_kv=None,
         interpret=interpret, compute_dbias=bias is not None,
     )
     if bias is not None:
@@ -652,13 +717,16 @@ def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
     else:
         dq, dk, dv = out
         dbias = None
-    dmask = dmask2 = None
+    dmask = dmask2 = dqseg = dkvseg = None
     if mask is not None:
-        # Boolean/integer mask is non-differentiable.
+        # Boolean/integer operands are non-differentiable.
         dmask = jnp.zeros(mask.shape, dtype=jax.dtypes.float0)
     if mask2 is not None:
         dmask2 = jnp.zeros(mask2.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, dmask, dbias, dmask2
+    if q_segment_ids is not None:
+        dqseg = jnp.zeros(q_segment_ids.shape, dtype=jax.dtypes.float0)
+        dkvseg = jnp.zeros(kv_segment_ids.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask, dbias, dmask2, dqseg, dkvseg
 
 
 _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
