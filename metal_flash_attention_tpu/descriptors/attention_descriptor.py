@@ -65,10 +65,15 @@ class AttentionDescriptor:
     input_precision: OperandPrecision = OperandPrecision.FP32
     output_precision: Optional[OperandPrecision] = None
     kv_precision: Optional[OperandPrecision] = None  # quantized KV cache
-    # Masking family (AttentionDescriptor.swift:31-57).
+    # Masking family (AttentionDescriptor.swift:31-57; fork operands
+    # mask @10, attnBias @11, attnMask2 @12, AttentionOperand.swift).
     causal: bool = False
     has_mask: bool = False
+    has_mask2: bool = False
     has_bias: bool = False
+    # Packed-sequence segment ids (no reference analog; production
+    # training feature, O(N) replacement for an O(N^2) mask).
+    has_segments: bool = False
     window_size: Optional[int] = None
     # Softmax scale; None -> 1/sqrt(head_dim).
     scale: Optional[float] = None

@@ -44,14 +44,17 @@ def build_attention(descriptor: AttentionDescriptor) -> Callable:
     cfg = descriptor.kernel_config(AttentionKernelType.FORWARD)
 
     def dispatch(q, k, v, mask=None, bias=None, mask2=None,
+                 q_segment_ids=None, kv_segment_ids=None,
                  return_residuals: bool = False):
         assert q.shape == (descriptor.batch, descriptor.q_heads,
                            descriptor.q_len, descriptor.head_dim), (
             f"q shape {q.shape} does not match descriptor {descriptor}")
         assert descriptor.has_mask == (mask is not None)
+        assert descriptor.has_mask2 == (mask2 is not None)
         assert descriptor.has_bias == (bias is not None)
+        assert descriptor.has_segments == (q_segment_ids is not None)
         return flash_attention(
-            q, k, v, mask, bias, mask2,
+            q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
             causal=descriptor.causal,
             window_size=descriptor.window_size,
             scale=descriptor.scale,

@@ -31,11 +31,13 @@ Pallas program tiled for the 128x128 MXU:
   follows (2D+5)/(2D + ops*R) where R ~ 25 is the MXU:VPU throughput
   ratio; reducing softmax ops or overlapping them is worth far more
   than any matmul tuning.)
-- Element masks run under `lax.cond`, taken only by blocks that
-  straddle the causal diagonal / window edge / kv padding; interior
-  blocks keep the branch-free fast path.  A `@pl.when` guard around
-  the whole body exists only when block-level skipping is possible
-  (causal/window), since the guard alone costs ~12pp of overlap.
+- Element masks (causal / window / kv padding / segment ids) are
+  branch-free: one compare of a grid-invariant (cols - rows) iota
+  delta against a scalar threshold (a `lax.cond` around the masked
+  path measured 2x slower than unconditional masking).  A `@pl.when`
+  guard around the whole body exists only when block-level skipping
+  is possible (causal/window), since the guard alone costs ~12pp of
+  overlap.
 - Causal / sliding-window blocks that are fully masked are skipped at
   block granularity (`AttentionKernel+Source.swift:365-381`), and the
   K/V index maps clamp the block index so skipped steps re-point at an
