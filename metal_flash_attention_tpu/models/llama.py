@@ -30,6 +30,7 @@ from metal_flash_attention_tpu.ops.flash_attention import flash_attention
 from jax import shard_map
 
 from metal_flash_attention_tpu.parallel.mesh import (
+    CONTEXT_AXIS,
     DATA_AXIS,
     HEAD_AXIS,
 )
@@ -165,6 +166,27 @@ def attention_block(
     if mesh is None:
         o = flash_attention(
             q, k, v, causal=True, block_q=block_q, block_kv=block_kv)
+    elif CONTEXT_AXIS in mesh.shape and mesh.shape[CONTEXT_AXIS] > 1:
+        # Long-context tier (BASELINE config 5): the sequence is
+        # sharded over the context axis; ring attention rotates KV
+        # shards over ICI with the differentiable ring backward.
+        # GQA KV heads are repeated into their query group so the
+        # ring's head axis matches q (ring rotates full KV shards).
+        from metal_flash_attention_tpu.parallel.ring_attention import (
+            _ring_attn,
+        )
+        group = cfg.n_heads // cfg.n_kv_heads
+        if group > 1:
+            k = jnp.repeat(k, group, axis=1)
+            v = jnp.repeat(v, group, axis=1)
+        spec = P(DATA_AXIS, HEAD_AXIS, CONTEXT_AXIS, None)
+        attn = shard_map(
+            lambda q_, k_, v_: _ring_attn(
+                q_, k_, v_, CONTEXT_AXIS, mesh.shape[CONTEXT_AXIS],
+                True, None, block_q, block_kv)[0],
+            mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False)
+        o = attn(q, k, v)
     else:
         # Pallas kernels do not SPMD-partition under pjit; run the
         # attention core under shard_map over (data, heads).  GQA KV

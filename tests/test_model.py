@@ -73,3 +73,28 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     logits = jax.jit(fn)(*args)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_forward_context_parallel_ring(rng):
+    """Model forward with the sequence sharded over the context axis:
+    the attention core runs the differentiable ring."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metal_flash_attention_tpu.parallel.mesh import (
+        DATA_AXIS,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(data=1, heads=2, context=2)
+    cfg = llama.LlamaConfig.tiny(n_layers=2, n_heads=4, n_kv_heads=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 128)),
+                         jnp.int32)
+    logits_ring, _ = jax.jit(
+        lambda p, t: llama.forward(p, t, cfg, mesh=mesh))(params, tokens)
+    logits_ref, _ = llama.forward(params, tokens, cfg)
+    assert float(jnp.max(jnp.abs(logits_ring - logits_ref))) < 0.1
