@@ -117,3 +117,52 @@ def test_paged_append_then_decode(rng):
     v_dense = jnp.asarray(vs).transpose(1, 2, 0, 3)
     o_ref = golden_decode(q, k_dense, v_dense)
     assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+
+
+def test_allocator_drives_paged_decode(rng):
+    """End-to-end: the (native) page allocator hands out pages, the
+    kernel walks them."""
+    from metal_flash_attention_tpu.native.page_allocator import (
+        make_page_allocator,
+    )
+
+    batch, kv_heads, q_heads, d, page_size = 2, 2, 2, 64, 128
+    alloc = make_page_allocator(num_pages=16, page_size=page_size)
+    max_pages = 4
+    cache = init_paged_cache(
+        num_pages=16, kv_heads=kv_heads, page_size=page_size,
+        head_dim=d, batch=batch, max_pages=max_pages, dtype=jnp.float32)
+
+    lengths = [200, 385]
+    table = np.zeros((batch, max_pages), np.int32)
+    k_dense = np.zeros((batch, kv_heads, max_pages * page_size, d),
+                       np.float32)
+    v_dense = np.zeros_like(k_dense)
+    k_pages = np.asarray(cache.k_pages).copy()
+    v_pages = np.asarray(cache.v_pages).copy()
+    for b, n in enumerate(lengths):
+        pages = alloc.reserve(seq=b, num_tokens=n)
+        data_k = rng.standard_normal(
+            (kv_heads, len(pages) * page_size, d)).astype(np.float32)
+        data_v = rng.standard_normal(
+            (kv_heads, len(pages) * page_size, d)).astype(np.float32)
+        for pi, page in enumerate(pages):
+            table[b, pi] = page
+            k_pages[page] = data_k[:, pi * page_size:(pi + 1) * page_size]
+            v_pages[page] = data_v[:, pi * page_size:(pi + 1) * page_size]
+        k_dense[b, :, :data_k.shape[1]] = data_k
+        v_dense[b, :, :data_v.shape[1]] = data_v
+    cache = cache._replace(
+        k_pages=jnp.asarray(k_pages), v_pages=jnp.asarray(v_pages),
+        page_table=jnp.asarray(table),
+        lengths=jnp.asarray(lengths, jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    o = paged_decode(q, cache)
+    o_ref = golden_decode(q, jnp.asarray(k_dense), jnp.asarray(v_dense),
+                          kv_lens=cache.lengths)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-5
+    # Release returns capacity.
+    alloc.release(0)
+    alloc.release(1)
+    assert alloc.free_pages == 15

@@ -192,3 +192,78 @@ class TestTunedLookupIntegration:
         # Without seq_len the static table is used.
         got2 = parameters.select_block_sizes("forward", 128, jnp.bfloat16)
         assert got2 != (640, 768)
+
+
+class TestPageAllocator:
+    """Native (C++) page allocator + Python fallback parity
+    (src/page_allocator.cpp — the host-side memory management of the
+    paged KV cache)."""
+
+    @pytest.fixture(params=["native", "python"])
+    def alloc_cls(self, request):
+        from metal_flash_attention_tpu.native import page_allocator as pa
+        if request.param == "native":
+            try:
+                pa.NativePageAllocator(4, 16)
+            except Exception as e:
+                pytest.skip(f"native allocator unavailable: {e}")
+            return pa.NativePageAllocator
+        return pa.PythonPageAllocator
+
+    def test_reserve_grow_release(self, alloc_cls):
+        a = alloc_cls(num_pages=8, page_size=128)
+        assert a.free_pages == 7  # page 0 reserved as null
+        new = a.reserve(seq=1, num_tokens=300)   # 3 pages
+        assert len(new) == 3 and 0 not in new
+        assert a.free_pages == 4
+        # Growing within the reserved pages allocates nothing.
+        assert a.reserve(seq=1, num_tokens=384) == []
+        more = a.reserve(seq=1, num_tokens=385)
+        assert len(more) == 1
+        assert a.pages(1) == new + more
+        a.release(1)
+        assert a.free_pages == 7
+        assert a.pages(1) == []
+
+    def test_pool_exhaustion_is_safe(self, alloc_cls):
+        from metal_flash_attention_tpu.native.page_allocator import (
+            PagerError,
+        )
+        a = alloc_cls(num_pages=4, page_size=128)
+        a.reserve(seq=1, num_tokens=128 * 3)
+        with pytest.raises(PagerError):
+            a.reserve(seq=2, num_tokens=128)
+        # Failed reserve has no side effects.
+        assert a.pages(2) == []
+        a.release(1)
+        assert len(a.reserve(seq=2, num_tokens=128)) == 1
+
+    def test_pages_are_exclusive(self, alloc_cls):
+        a = alloc_cls(num_pages=32, page_size=128)
+        p1 = a.reserve(seq=1, num_tokens=128 * 10)
+        p2 = a.reserve(seq=2, num_tokens=128 * 10)
+        assert not set(p1) & set(p2)
+
+    def test_concurrent_reserve_release(self, alloc_cls):
+        a = alloc_cls(num_pages=257, page_size=128)
+        errors = []
+
+        def worker(tid):
+            try:
+                for i in range(50):
+                    seq = tid * 1000 + i
+                    pages = a.reserve(seq, 128 * 4)
+                    assert len(pages) == 4
+                    assert a.pages(seq) == pages
+                    a.release(seq)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert a.free_pages == 256
