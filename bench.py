@@ -119,6 +119,45 @@ def bench_gemm(size, *, floor):
     return 2 * size**3 / secs  # FLOPS
 
 
+def bench_train_step(*, floor):
+    """End-to-end training MFU on one chip (parameter FLOPs only:
+    6 * params * tokens; attention FLOPs excluded from the numerator)."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.runtime.context import DeviceContext
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 4097)),
+                         jnp.int32)
+
+    @jax.jit
+    def step(p, t):
+        new_p, loss = llama.train_step(p, t, cfg)
+        # Consume every updated parameter so the backward pass cannot
+        # be dead-code-eliminated.
+        s = sum(x.ravel()[:1].astype(jnp.float32).sum()
+                for x in jax.tree.leaves(new_p))
+        return loss + s * 0.0
+
+    for _ in range(2):
+        float(step(params, tokens))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(step(params, tokens))
+        best = min(best, time.perf_counter() - t0)
+    best -= floor
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(params))
+    flops = 6 * n_params * 4096
+    peak = DeviceContext.get().info.peak_bf16_flops
+    return 4096 / best, flops / best / peak
+
+
 def main():
     from metal_flash_attention_tpu.descriptors.precision import (
         OperandPrecision,
@@ -173,6 +212,13 @@ def main():
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
         except Exception as e:
             print(f"# gemm {size}: FAIL {type(e).__name__}", file=err)
+
+    try:
+        toks, mfu = bench_train_step(floor=floor)
+        print(f"# llama train (4L d2048 n4096, 1 chip): {toks:7.0f} "
+              f"tok/s ({mfu:5.1%} param-MFU)", file=err)
+    except Exception as e:
+        print(f"# llama train: FAIL {type(e).__name__}", file=err)
 
     print(json.dumps({
         "metric": "attention_fwd_ginstrs_per_s_d128_n4096_bf16",

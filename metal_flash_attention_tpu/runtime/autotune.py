@@ -30,8 +30,8 @@ from metal_flash_attention_tpu.utils.shapes import round_up
 # {48x48x32, 48x48x40} x {asyncStore on/off} sweep — (block_q, block_kv)
 # pairs spanning the VMEM/occupancy trade-off.
 DEFAULT_CANDIDATES: tuple[tuple[int, int], ...] = (
-    (256, 256), (256, 512), (512, 512), (512, 1024),
-    (1024, 512), (1024, 1024), (2048, 512), (256, 1024),
+    (256, 512), (512, 512), (512, 1024), (1024, 512),
+    (1024, 1024), (512, 2048), (1024, 2048),
 )
 
 
