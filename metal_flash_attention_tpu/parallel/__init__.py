@@ -30,3 +30,15 @@ __all__ = [
     "context_parallel_attention",
     "context_parallel_decode",
 ]
+
+from metal_flash_attention_tpu.parallel.zigzag import (
+    zigzag_ring_attention,
+    zigzag_shard,
+    zigzag_unshard,
+)
+
+__all__ += [
+    "zigzag_ring_attention",
+    "zigzag_shard",
+    "zigzag_unshard",
+]
