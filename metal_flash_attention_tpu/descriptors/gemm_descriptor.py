@@ -28,11 +28,8 @@ registration-time autotune (`GEMMDescriptor+PipelineCache.swift:75-119`).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Optional
-
-import jax.numpy as jnp
 
 from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.runtime.context import DeviceContext

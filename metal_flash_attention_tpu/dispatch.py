@@ -13,7 +13,7 @@ module's config resolution, level 2 is `jax.jit`'s executable cache.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import ctypes
 import threading
-from typing import Optional
 
 from metal_flash_attention_tpu.native.build import build_native
 

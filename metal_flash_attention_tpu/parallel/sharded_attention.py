@@ -15,7 +15,6 @@ the reference's in-kernel (m, l, O) merge
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -15,7 +15,6 @@ its autotuner's outputs committed as text.
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Callable, Optional, Sequence
 

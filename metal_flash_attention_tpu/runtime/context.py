@@ -13,7 +13,6 @@ sizing and roofline accounting.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
