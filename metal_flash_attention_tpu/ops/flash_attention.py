@@ -155,8 +155,12 @@ def _make_fwd_kernel(
     precision=None,
     kv_precision=None,
     group: int = 1,
+    logit_softcap=None,
 ):
     scale_log2e = scale * LOG2E
+    # Softcap operates on natural-unit logits; in the base-2 domain the
+    # same curve is cap2 * tanh(s2 / cap2) with cap2 = cap * log2(e).
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
     offset = kv_len - q_len
     half = block_kv // num_halves
     # Block-level skip guard needed only when whole blocks can be
@@ -230,6 +234,8 @@ def _make_fwd_kernel(
                     q, load_k(u), (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision,
                 )
+                if softcap2 is not None:
+                    s = softcap2 * jnp.tanh(s / softcap2)
                 if has_bias:
                     s += (bias_ref[0, 0, :, u * half:(u + 1) * half]
                           .astype(jnp.float32) * LOG2E)
@@ -383,6 +389,7 @@ def flash_attention_forward(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -606,6 +613,7 @@ def flash_attention_forward(
         has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
+        logit_softcap=logit_softcap,
     )
 
     o, lse = pl.pallas_call(
@@ -646,8 +654,8 @@ def flash_attention_forward(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "window_size", "scale", "block_q", "block_kv",
-        "interpret", "return_residuals",
+        "causal", "window_size", "scale", "logit_softcap",
+        "block_q", "block_kv", "interpret", "return_residuals",
     ),
 )
 def flash_attention(
@@ -663,6 +671,7 @@ def flash_attention(
     causal: bool = False,
     window_size: Optional[int] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -682,6 +691,7 @@ def flash_attention(
             q, k, v, causal=causal, window_size=window_size, mask=mask,
             bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids, scale=scale,
+            logit_softcap=logit_softcap,
             block_q=block_q, block_kv=block_kv,
             interpret=interpret,
         )
@@ -693,7 +703,7 @@ def flash_attention(
 
     o, lse = _flash_attention_vjp(
         q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
-        causal, window_size, scale,
+        causal, window_size, scale, logit_softcap,
         block_q, block_kv, interpret,
     )
     if return_residuals:

@@ -73,9 +73,10 @@ from metal_flash_attention_tpu.utils.shapes import round_up, pad_to
 def _make_dq_kernel(
     *, block_q, block_kv, num_halves, num_kv_blocks, q_len, kv_len, scale,
     causal, window_size, has_mask, has_mask2, has_bias, has_segments,
-    kv_pad, emit_dbias, out_dtype, precision=None,
+    kv_pad, emit_dbias, out_dtype, precision=None, logit_softcap=None,
 ):
     scale_log2e = scale * LOG2E
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
     offset = kv_len - q_len
     half = block_kv // num_halves
     needs_when = causal or window_size is not None
@@ -144,13 +145,17 @@ def _make_dq_kernel(
                 return em
 
             # MXU batch: every half's S and dP products first.
-            ss, dps, gates = [], [], []
+            ss, dps, gates, tanhs = [], [], [], []
             for u in range(num_halves):
                 ku = k_ref[0, 0, u * half:(u + 1) * half, :]
                 s = jax.lax.dot_general(
                     q, ku, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision,
                 )
+                if softcap2 is not None:
+                    t = jnp.tanh(s / softcap2)
+                    tanhs.append(t)
+                    s = softcap2 * t
                 if has_bias:
                     s += (bias_ref[0, 0, :, u * half:(u + 1) * half]
                           .astype(jnp.float32) * LOG2E)
@@ -185,6 +190,9 @@ def _make_dq_kernel(
                 if emit_dbias:
                     dbias_ref[0, 0, :, u * half:(u + 1) * half] = (
                         ds.astype(dbias_ref.dtype))
+                if softcap2 is not None:
+                    # Chain rule through cap*tanh(s/cap): x (1 - tanh^2).
+                    ds = ds * (1.0 - tanhs[u] * tanhs[u])
                 ku = k_ref[0, 0, u * half:(u + 1) * half, :]
                 acc += jax.lax.dot_general(
                     ds.astype(ku.dtype), ku, (((1,), (0,)), ((), ())),
@@ -217,9 +225,10 @@ def _make_dq_kernel(
 def _make_dkv_kernel(
     *, block_q, block_kv, num_halves, num_q_blocks, q_len, kv_len, scale,
     causal, window_size, has_mask, has_mask2, has_bias, has_segments,
-    kv_pad, out_dtype, precision=None,
+    kv_pad, out_dtype, precision=None, logit_softcap=None,
 ):
     scale_log2e = scale * LOG2E
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
     offset = kv_len - q_len
     half = block_q // num_halves
     needs_when = causal or window_size is not None
@@ -281,7 +290,7 @@ def _make_dkv_kernel(
                     em = em_p if em is None else jnp.logical_and(em, em_p)
                 return em
 
-            ss, dps, gates, dos = [], [], [], []
+            ss, dps, gates, dos, tanhs = [], [], [], [], []
             for u in range(num_halves):
                 qu = q_ref[0, 0, u * half:(u + 1) * half, :]
                 qu = (qu.astype(jnp.float32) * scale_log2e).astype(qu.dtype)
@@ -289,6 +298,10 @@ def _make_dkv_kernel(
                     qu, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision,
                 )
+                if softcap2 is not None:
+                    t = jnp.tanh(s / softcap2)
+                    tanhs.append(t)
+                    s = softcap2 * t
                 if has_bias:
                     s += (bias_ref[0, 0, u * half:(u + 1) * half, :]
                           .astype(jnp.float32) * LOG2E)
@@ -332,6 +345,8 @@ def _make_dkv_kernel(
                     preferred_element_type=jnp.float32, precision=precision,
                 )
                 ds = p * (dps[u] - d_term[:, None])    # natural units
+                if softcap2 is not None:
+                    ds = ds * (1.0 - tanhs[u] * tanhs[u])
                 qu = q_ref[0, 0, u * half:(u + 1) * half, :]
                 dkacc += jax.lax.dot_general(
                     ds.astype(qu.dtype), qu, (((0,), (0,)), ((), ())),
@@ -363,6 +378,7 @@ def flash_attention_backward(
     *,
     causal=False, window_size=None, mask=None, bias=None, mask2=None,
     q_segment_ids=None, kv_segment_ids=None, scale=None,
+    logit_softcap=None,
     block_q=None, block_kv=None, interpret=None, compute_dbias=False,
 ):
     """Run both backward kernels; returns (dq, dk, dv[, dbias]).
@@ -530,6 +546,7 @@ def flash_attention_backward(
         has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, emit_dbias=emit_dbias,
         out_dtype=q.dtype, precision=precision,
+        logit_softcap=logit_softcap,
     )
     dq_out = pl.pallas_call(
         dq_kernel,
@@ -624,7 +641,7 @@ def flash_attention_backward(
         window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
         has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=jnp.float32,
-        precision=precision,
+        precision=precision, logit_softcap=logit_softcap,
     )
     dk_full, dv_full = pl.pallas_call(
         dkv_kernel,
@@ -671,26 +688,30 @@ def flash_attention_backward(
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _flash_attention_vjp(
     q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
-    causal, window_size, scale, block_q, block_kv, interpret,
+    causal, window_size, scale, logit_softcap, block_q, block_kv,
+    interpret,
 ):
     return flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
         bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids, scale=scale,
+        logit_softcap=logit_softcap,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
 
 
 def _vjp_fwd(q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
-             causal, window_size, scale, block_q, block_kv, interpret):
+             causal, window_size, scale, logit_softcap, block_q,
+             block_kv, interpret):
     o, lse = flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
         bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids, scale=scale,
+        logit_softcap=logit_softcap,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
@@ -698,8 +719,8 @@ def _vjp_fwd(q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
                       kv_segment_ids, o, lse)
 
 
-def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
-             residuals, cotangents):
+def _vjp_bwd(causal, window_size, scale, logit_softcap, block_q,
+             block_kv, interpret, residuals, cotangents):
     (q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
      o, lse) = residuals
     do, _dlse = cotangents
@@ -708,6 +729,7 @@ def _vjp_bwd(causal, window_size, scale, block_q, block_kv, interpret,
         causal=causal, window_size=window_size, mask=mask, bias=bias,
         mask2=mask2, q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids, scale=scale,
+        logit_softcap=logit_softcap,
         block_q=None, block_kv=None,
         interpret=interpret, compute_dbias=bias is not None,
     )

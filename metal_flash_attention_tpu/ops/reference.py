@@ -88,6 +88,7 @@ def attention_reference(
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
     return_residuals: bool = False,
 ):
     """Naive softmax(Q K^T / sqrt(D)) V in FP32.
@@ -101,6 +102,9 @@ def attention_reference(
         scale = 1.0 / math.sqrt(d)
     q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
     s = (q32 @ k32.T) * scale
+    if logit_softcap is not None:
+        # Gemma-2-style soft capping: cap * tanh(s / cap).
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     logit_mask = _build_logit_mask(
@@ -154,6 +158,9 @@ def attention_reference_grads(
     q32, k32, v32, do32 = (x.astype(jnp.float32) for x in (q, k, v, do))
     c = k.shape[0]
     s = (q32 @ k32.T) * scale
+    if logit_softcap is not None:
+        # Gemma-2-style soft capping: cap * tanh(s / cap).
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     logit_mask = _build_logit_mask(

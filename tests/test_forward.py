@@ -285,3 +285,35 @@ def test_block_clamp_fits_budget():
     # Small D keeps the tuned blocks untouched.
     assert clamp_to_vmem("forward", 1024, 2048, 128, jnp.bfloat16,
                          budget=15 * 2**20) == (1024, 2048)
+
+
+def test_forward_logit_softcap(rng):
+    """Gemma-2-style soft capping: cap * tanh(s / cap)."""
+    n, d, cap = 256, 64, 30.0
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, n, d))
+    o, _ = flash_attention_forward(q, k, v, causal=True,
+                                   logit_softcap=cap)
+    o_ref = golden_batched(q, k, v, causal=True, logit_softcap=cap)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_backward_logit_softcap(rng):
+    from metal_flash_attention_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+    n, d, cap = 200, 64, 20.0
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, n, d))
+    do = jnp.asarray(rng.standard_normal((1, 1, n, d)), jnp.float32)
+
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, causal=True, logit_softcap=cap) * do),
+        (0, 1, 2))(q, k, v)
+
+    def ref_loss(q, k, v):
+        o = attention_reference(q[0, 0], k[0, 0], v[0, 0], causal=True,
+                                logit_softcap=cap)
+        return jnp.sum(o[None, None] * do)
+
+    g_ref = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, g_ref):
+        assert max_abs_err(a, b) < 5 * fp32_kernel_tol(), name
