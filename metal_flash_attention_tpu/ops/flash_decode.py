@@ -87,6 +87,7 @@ def _make_decode_kernel(
     has_lens: bool,
     out_dtype,
     kv_precision=None,
+    precision=None,
 ):
     scale_log2e = scale * LOG2E
 
@@ -129,7 +130,7 @@ def _make_decode_kernel(
                 v = dequant_block(v, v_scale_ref[b, h], kv_precision, q.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )  # [group_pad, block_kv]
             # Tail masking: one compare against the live length.
             cols = jax.lax.broadcasted_iota(
@@ -145,7 +146,7 @@ def _make_decode_kernel(
             m_scr[...] = m_next
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
@@ -237,10 +238,15 @@ def flash_decode(
     vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
 
     has_lens = kv_lens is not None
+    # FP32 inputs demand true FP32 MXU passes (the 2e-5 regime).
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
+                     else None)
     kernel = _make_decode_kernel(
         group=group, group_pad=group_pad, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,
         has_lens=has_lens, out_dtype=q.dtype, kv_precision=kv_precision,
+        precision=mxu_precision,
     )
 
     in_specs = []

@@ -64,7 +64,7 @@ PAGES_PER_CHUNK = 8
 
 
 def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
-                       scale, out_dtype):
+                       scale, out_dtype, precision=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues PAGES_PER_CHUNK parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
@@ -122,7 +122,7 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             v = v_scr[slot]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )  # [group_pad, chunk]
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (group_pad, chunk), 1) + c * chunk
@@ -133,7 +133,7 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )
             return m_next, l_next, acc * alpha[:, :1] + pv
 
@@ -191,9 +191,13 @@ def paged_decode(
     vp = pad_to(cache.v_pages,
                 (num_pages, kv_heads, page_size, d_pad))
 
+    mxu_precision = (jax.lax.Precision.HIGHEST
+                     if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
+                     else None)
     kernel = _make_paged_kernel(
         group=group, group_pad=group_pad, page_size=page_size,
-        d_pad=d_pad, scale=scale, out_dtype=q.dtype)
+        d_pad=d_pad, scale=scale, out_dtype=q.dtype,
+        precision=mxu_precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -140,6 +140,7 @@ def attention_reference_grads(
     mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
 ):
     """Analytic gradients of Phi = sum(dO * O) w.r.t. Q, K, V.
 
@@ -158,9 +159,12 @@ def attention_reference_grads(
     q32, k32, v32, do32 = (x.astype(jnp.float32) for x in (q, k, v, do))
     c = k.shape[0]
     s = (q32 @ k32.T) * scale
+    cap_deriv = None
     if logit_softcap is not None:
         # Gemma-2-style soft capping: cap * tanh(s / cap).
-        s = logit_softcap * jnp.tanh(s / logit_softcap)
+        t = jnp.tanh(s / logit_softcap)
+        cap_deriv = 1.0 - t * t
+        s = logit_softcap * t
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     logit_mask = _build_logit_mask(
@@ -182,6 +186,8 @@ def attention_reference_grads(
     dv = p.T @ do32
     dp = do32 @ v32.T
     ds = p * (dp - d_term) * scale
+    if cap_deriv is not None:
+        ds = ds * cap_deriv
     dq = ds @ k32
     dk = ds.T @ q32
     return dq, dk, dv, o, lse, d_term[:, 0]
