@@ -15,9 +15,11 @@ from metal_flash_attention_tpu.ops.flash_decode import (
 from metal_flash_attention_tpu.ops.gemm import batched_gemm, gemm
 from metal_flash_attention_tpu.ops.paged_attention import (
     PagedKVCache,
+    QuantizedPagedKVCache,
     init_paged_cache,
     paged_append,
     paged_decode,
+    quantize_paged,
 )
 from metal_flash_attention_tpu.ops.quantization import (
     QuantizedTensor,
@@ -40,6 +42,8 @@ __all__ = [
     "paged_append",
     "init_paged_cache",
     "PagedKVCache",
+    "QuantizedPagedKVCache",
+    "quantize_paged",
     "gemm",
     "batched_gemm",
     "quantize",

@@ -41,6 +41,11 @@ from metal_flash_attention_tpu.ops.flash_attention import (
     RESIDUAL_SUBLANES,
 )
 from metal_flash_attention_tpu.ops.flash_decode import GROUP_PAD
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.ops.quantization import (
+    _FP8_MAGIC_EXP,
+    fp8_expand_bits,
+)
 from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 
 
@@ -56,6 +61,68 @@ class PagedKVCache(NamedTuple):
         return self.k_pages.shape[2]
 
 
+class QuantizedPagedKVCache(NamedTuple):
+    """INT8/FP8 paged pool with per-(page, head) scales.
+
+    The quantized analog of :class:`PagedKVCache` (reference
+    capability: quantizedKV with per-batch-head scales at buffers
+    20/21, `AttentionKernel+Source.swift:216-291`; here the natural
+    granularity is per page — each page is quantized independently, so
+    pool pages are freely shareable across sequences).
+    """
+    k_pages: jax.Array      # [num_pages, kv_heads, page_size, d] int8/fp8
+    v_pages: jax.Array
+    k_scales: jax.Array     # [num_pages, kv_heads] float32
+    v_scales: jax.Array
+    page_table: jax.Array   # [batch, max_pages] int32
+    lengths: jax.Array      # [batch] int32
+    precision: OperandPrecision
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedPagedKVCache,
+    lambda c: ((c.k_pages, c.v_pages, c.k_scales, c.v_scales,
+                c.page_table, c.lengths), c.precision),
+    lambda prec, xs: QuantizedPagedKVCache(*xs, prec),
+)
+
+
+def quantize_paged(cache: PagedKVCache,
+                   precision: OperandPrecision) -> QuantizedPagedKVCache:
+    """Quantize a paged pool page-by-page (per-page absmax scales).
+
+    Serving pattern: prefill into a bf16 pool, quantize once, decode
+    against the quantized pool (new tokens go to a bf16 tail merged by
+    the lse combine — see models/serving.py).
+    """
+    def quant(pages):
+        absmax = jnp.max(jnp.abs(pages.astype(jnp.float32)),
+                         axis=(-1, -2))                 # [pages, heads]
+        if precision is OperandPrecision.INT8:
+            scale = jnp.maximum(absmax, 1e-12) / 127.0
+            q = jnp.round(pages.astype(jnp.float32)
+                          / scale[:, :, None, None])
+            return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+        if precision in (OperandPrecision.FP8_E4M3,
+                         OperandPrecision.FP8_E5M2):
+            fmax = (448.0 if precision is OperandPrecision.FP8_E4M3
+                    else 57344.0)
+            scale = jnp.maximum(absmax, 1e-12) / fmax
+            q = (pages.astype(jnp.float32)
+                 / scale[:, :, None, None]).astype(precision.storage_dtype)
+            return q, scale
+        raise ValueError(f"unsupported paged KV precision: {precision}")
+
+    kq, ks = quant(cache.k_pages)
+    vq, vs = quant(cache.v_pages)
+    return QuantizedPagedKVCache(kq, vq, ks, vs, cache.page_table,
+                                 cache.lengths, precision)
+
+
 # Pages gathered per compute chunk: one [group, G*page_size] score tile
 # amortizes the fixed small-op latencies that dominate per-page
 # processing (single-page loops measured latency-bound at 20% of HBM
@@ -64,17 +131,36 @@ PAGES_PER_CHUNK = 8
 
 
 def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
-                       scale, out_dtype, precision=None):
+                       scale, out_dtype, precision=None,
+                       kv_precision=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues PAGES_PER_CHUNK parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
-    one online-softmax update over the whole strip."""
+    one online-softmax update over the whole strip.
+
+    Quantized pools (``kv_precision`` INT8/FP8): pages are DMA'd in
+    their storage dtype and only *cast* to the compute dtype — the
+    per-(page, head) scale is linear in both matmuls, so it folds into
+    a column scaling of S (for K) and of P (for V).  No dequantized KV
+    strip is ever materialized, and the FP8 2^(127-bias) magic exponent
+    (see ops/quantization.fp8_expand_bits) folds into the same scale
+    row for free.
+    """
     scale_log2e = scale * LOG2E
     G = PAGES_PER_CHUNK
     chunk = G * page_size
+    fp8_magic = (2.0 ** _FP8_MAGIC_EXP[kv_precision]
+                 if kv_precision in _FP8_MAGIC_EXP else 1.0)
 
-    def kernel(table_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, l_ref,
-               k_scr, v_scr, sems):
+    def kernel(*refs):
+        if kv_precision is not None:
+            (table_ref, lens_ref, k_scales_ref, v_scales_ref,
+             q_ref, k_hbm, v_hbm, o_ref, l_ref,
+             k_scr, v_scr, sems) = refs
+        else:
+            (table_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, l_ref,
+             k_scr, v_scr, sems) = refs
+            k_scales_ref = v_scales_ref = None
         b = pl.program_id(0)
         h = pl.program_id(1)
         kv_len = lens_ref[b]
@@ -107,6 +193,25 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             for dma in page_dmas(0, 0):
                 dma.start()
 
+        def expand(x):
+            """Storage dtype -> compute dtype, scale NOT applied."""
+            if kv_precision in _FP8_MAGIC_EXP:
+                return fp8_expand_bits(x, kv_precision).astype(q.dtype)
+            if kv_precision is not None:   # INT8: exact in bf16
+                return x.astype(jnp.float32).astype(q.dtype)
+            return x
+
+        def scale_row(scales_ref, c):
+            """[1, chunk] per-column dequant scale of chunk c (page g's
+            scale replicated over its page_size columns)."""
+            parts = []
+            for g in range(G):
+                j = jnp.minimum(c * G + g, last_page)
+                page = table_ref[b, j]
+                val = scales_ref[page, h] * fp8_magic
+                parts.append(jnp.broadcast_to(val, (1, page_size)))
+            return jnp.concatenate(parts, axis=1).astype(jnp.float32)
+
         def body(c, carry):
             m_prev, l_prev, acc = carry
             slot = jax.lax.rem(c, 2)
@@ -118,12 +223,14 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
 
             for dma in page_dmas(c, slot):
                 dma.wait()
-            k = k_scr[slot]
-            v = v_scr[slot]
+            k = expand(k_scr[slot])
+            v = expand(v_scr[slot])
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [group_pad, chunk]
+            if kv_precision is not None:
+                s = s * scale_row(k_scales_ref, c)
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (group_pad, chunk), 1) + c * chunk
             s = jnp.where(cols < kv_len, s, MASK_VALUE)
@@ -131,6 +238,8 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next[:, :1])
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            if kv_precision is not None:
+                p = p * scale_row(v_scales_ref, c)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -165,7 +274,9 @@ def paged_decode(
     """Decode one token per sequence against a paged KV pool.
 
     q: [batch, q_heads, head_dim]; returns o [batch, q_heads, head_dim]
-    (+ lse for cross-segment merging).
+    (+ lse for cross-segment merging).  ``cache`` may be a
+    :class:`PagedKVCache` or a :class:`QuantizedPagedKVCache`
+    (INT8/FP8 pages, dequantized in-kernel).
     """
     batch, q_heads, head_dim = q.shape
     num_pages, kv_heads, page_size, _ = cache.k_pages.shape
@@ -178,6 +289,7 @@ def paged_decode(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     assert page_size % MIN_LANES == 0 or page_size % 8 == 0, page_size
+    kv_precision = getattr(cache, "precision", None)
 
     if head_dim < MIN_LANES and head_dim % 8 == 0:
         d_pad = head_dim
@@ -197,18 +309,24 @@ def paged_decode(
     kernel = _make_paged_kernel(
         group=group, group_pad=group_pad, page_size=page_size,
         d_pad=d_pad, scale=scale, out_dtype=q.dtype,
-        precision=mxu_precision)
+        precision=mxu_precision, kv_precision=kv_precision)
+
+    scalar_args = [cache.page_table.astype(jnp.int32),
+                   cache.lengths.astype(jnp.int32)]
+    if kv_precision is not None:
+        scalar_args += [cache.k_scales.astype(jnp.float32),
+                        cache.v_scales.astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalar_args),
         grid=(batch, kv_heads),
         in_specs=[
             pl.BlockSpec((1, 1, group_pad, d_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
             # K/V pools stay in HBM; the kernel walks the page table
             # with its own double-buffered DMA.
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, group_pad, d_pad),
@@ -236,8 +354,7 @@ def paged_decode(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(cache.page_table.astype(jnp.int32),
-      cache.lengths.astype(jnp.int32), qg, kp, vp)
+    )(*scalar_args, qg, kp, vp)
 
     o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
     if return_residuals:

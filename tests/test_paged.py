@@ -168,3 +168,48 @@ def test_allocator_drives_paged_decode(rng):
     alloc.release(0)
     alloc.release(1)
     assert alloc.free_pages == 15
+
+@pytest.mark.parametrize("precision", ["INT8", "FP8_E4M3", "FP8_E5M2"])
+def test_paged_decode_quantized_kv(rng, precision):
+    """Quantized pages (per-page scales) vs the float golden: must sit
+    inside the quantized-KV tolerance tier."""
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        quantize_paged,
+    )
+    from metal_flash_attention_tpu.utils.tolerances import QUANTIZED_KV_TOL
+
+    batch, q_heads, kv_heads, d = 2, 8, 2, 128
+    page_size, max_pages = 128, 4
+    lengths = [300, 512]
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    qcache = quantize_paged(cache, OperandPrecision[precision])
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.float32)
+    o = paged_decode(q, qcache)
+    o_ref = golden_decode(q, kd, vd, kv_lens=cache.lengths)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < QUANTIZED_KV_TOL.o
+
+
+def test_paged_quantized_roundtrip_tighter_than_tier(rng):
+    """Per-page scales should beat per-cache scales: INT8 error well
+    under the tier on well-conditioned data."""
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        quantize_paged,
+    )
+
+    batch, kv_heads, d, page_size, max_pages = 1, 2, 64, 128, 2
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=[256], max_pages=max_pages)
+    qcache = quantize_paged(cache, OperandPrecision.INT8)
+    q = jnp.asarray(rng.standard_normal((batch, 2, d)), jnp.float32)
+    o = paged_decode(q, qcache)
+    o_ref = golden_decode(q, kd, vd, kv_lens=cache.lengths)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-2
