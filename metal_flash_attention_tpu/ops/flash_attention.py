@@ -86,6 +86,9 @@ RESIDUAL_SUBLANES = 8
 # Traversal blocks split into halves this wide for the MXU/VPU overlap
 # pipeline; 1024 measured best on v5e (512-wide halves regress).
 PIPELINE_HALF = 1024
+# Benchmark/test override for the dynamic-traversal kernel choice:
+# None = measured gate, True = dynamic whenever eligible, False = grid.
+_FORCE_DYNAMIC: Optional[bool] = None
 
 
 def _block_visible(
@@ -376,6 +379,275 @@ def _make_fwd_kernel(
     return kernel
 
 
+def _make_fwd_kernel_dynamic(
+    *,
+    block_q: int,
+    block_kv: int,
+    num_halves: int,
+    num_kv_blocks: int,
+    q_len: int,
+    kv_len: int,
+    scale: float,
+    causal: bool,
+    window_size: Optional[int],
+    has_segments: bool,
+    out_dtype,
+    precision=None,
+    kv_precision=None,
+    group: int = 1,
+    logit_softcap=None,
+    resident: bool = False,
+):
+    """Dynamic-traversal forward for causal / sliding-window masks.
+
+    The grid kernel (`_make_fwd_kernel`) skips invisible KV blocks with
+    a `pl.when` guard, but a *skipped* Pallas grid step still costs
+    ~59% of a live one (measured v5e, D=128 N=4096: causal at
+    (1024,1024) runs 0.845x of full time against a 0.625 block-work
+    fraction).  This variant removes skipped steps entirely: the grid
+    is (batch, q_heads, q_blocks) and the KV traversal is an in-kernel
+    `fori_loop` with a *dynamic trip count* — exactly the visible
+    blocks [first, last] of this q block — with hand-rolled
+    double-buffered K/V DMA from HBM (the same pattern as the decode /
+    paged kernels).  The reference's analog is its traversal-loop
+    early exit (`AttentionKernel+Source.swift:365-381`); TPU's analog
+    of "early exit" is not running the iteration at all.
+
+    Same math as the grid kernel: prescaled Q, two-half MXU/VPU
+    overlap, branch-free one-compare element masks, deferred O
+    normalization.
+
+    ``resident=True`` (moderate KV lengths): the whole K/V strip rides
+    a constant-index BlockSpec — Pallas fetches it once per (b, head)
+    and the traversal loop is pure compute over VMEM slices.  Measured
+    v5e: a per-block in-kernel DMA pair costs ~2us of fixed overhead
+    per loop iteration (issue + wait + scalar bookkeeping), which at
+    block_kv=1024 is ~30% of the block's compute; resident mode
+    removes it, and the extra HBM traffic of fetching masked-off
+    blocks is noise (the full strip is ~1 MB against ~100 us of
+    compute per (b, h)).
+    """
+    scale_log2e = scale * LOG2E
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
+    offset = kv_len - q_len
+    half = block_kv // num_halves
+    # Last KV block with any live (non-padding) column — static.
+    live_last = (kv_len - 1) // block_kv
+    needs_p_zero = (((causal or window_size is not None) and offset < 0)
+                    or has_segments)
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)
+        k_hbm = next(it)
+        v_hbm = next(it)
+        k_scale_ref = next(it) if kv_precision is not None else None
+        v_scale_ref = next(it) if kv_precision is not None else None
+        qseg_ref = next(it) if has_segments else None
+        kvseg_ref = next(it) if has_segments else None
+        o_ref = next(it)
+        l_ref = next(it)
+        m_scr = next(it)
+        l_scr = next(it)
+        acc_scr = next(it)
+        if not resident:
+            k_scr = next(it)
+            v_scr = next(it)
+            sems = next(it)
+
+        b_idx = pl.program_id(0)
+        h_idx = pl.program_id(1)
+        i = pl.program_id(2)
+        h_kv = h_idx // group
+
+        # Visible block range [first, last] for q block i (floor
+        # division: offsets may drive the numerators negative).
+        last = jnp.int32(live_last)
+        if causal:
+            last = jnp.minimum(last, jnp.floor_divide(
+                (i + 1) * block_q - 1 + offset, block_kv))
+        if window_size is not None:
+            first = jnp.clip(
+                jnp.floor_divide(i * block_q + offset - window_size + 1,
+                                 block_kv),
+                0, live_last)
+        else:
+            first = jnp.int32(0)
+        n_blocks = jnp.maximum(last - first + 1, 0)
+
+        if not resident:
+            def kv_dma(c, slot):
+                start = (first + c) * block_kv
+                return [
+                    pltpu.make_async_copy(
+                        k_hbm.at[b_idx, h_kv, pl.ds(start, block_kv)],
+                        k_scr.at[slot], sems.at[slot, 0]),
+                    pltpu.make_async_copy(
+                        v_hbm.at[b_idx, h_kv, pl.ds(start, block_kv)],
+                        v_scr.at[slot], sems.at[slot, 1]),
+                ]
+
+            @pl.when(n_blocks > 0)
+            def _prefetch():
+                for dma in kv_dma(0, 0):
+                    dma.start()
+
+        q = q_ref[0, 0]
+        q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
+
+        if has_segments:
+            qseg = qseg_ref[0, :, :1]                  # [bq, 1]
+
+        delta = (jax.lax.broadcasted_iota(jnp.int32, (block_q, half), 1)
+                 - jax.lax.broadcasted_iota(jnp.int32, (block_q, half), 0))
+        col_static = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, half), 1)
+
+        def dequant(x, scale_ref):
+            if kv_precision is None:
+                return x
+            from metal_flash_attention_tpu.ops.quantization import (
+                dequant_block,
+            )
+            return dequant_block(x, scale_ref[b_idx, h_kv],
+                                 kv_precision, q.dtype)
+
+        def make_body(masked: bool):
+            """Loop body; ``masked=False`` is the interior fast path —
+            blocks fully below the causal diagonal skip every
+            structural compare (the fwd pass is VPU-bound, and the
+            mask chain is ~4 extra VPU ops on the [bq, bkv] tile: a
+            measured +41%/block)."""
+
+            def struct_mask(u, jj):
+                em = None
+                if has_segments:
+                    kvseg = kvseg_ref[0, jj, 0:1,
+                                      u * half:(u + 1) * half]  # [1, half]
+                    em = qseg == kvseg
+                if not masked:
+                    return em
+                if causal:
+                    thr = (i * block_q + offset - jj * block_kv
+                           - u * half)
+                    em_c = delta <= thr
+                    em = em_c if em is None else jnp.logical_and(em, em_c)
+                if window_size is not None:
+                    thr_w = (i * block_q + offset - window_size
+                             - jj * block_kv - u * half)
+                    em_w = delta > thr_w
+                    em = em_w if em is None else jnp.logical_and(em, em_w)
+                # KV-padding columns beyond kv_len (dynamic: only the
+                # last live block has them, but jj is dynamic so the
+                # compare is unconditional — it is one VPU op).
+                em_p = col_static < kv_len - jj * block_kv - u * half
+                em = em_p if em is None else jnp.logical_and(em, em_p)
+                return em
+
+            def body(c, _):
+                jj = first + c
+                if resident:
+                    k_raw = k_hbm[0, 0, pl.ds(jj * block_kv, block_kv), :]
+                else:
+                    slot = jax.lax.rem(c, 2)
+
+                    @pl.when(c + 1 < n_blocks)
+                    def _():
+                        for dma in kv_dma(c + 1, jax.lax.rem(c + 1, 2)):
+                            dma.start()
+
+                    for dma in kv_dma(c, slot):
+                        dma.wait()
+                    k_raw = k_scr[slot]
+
+                k_strip = dequant(k_raw, k_scale_ref)
+                # Emit all halves' QK products first (MXU/VPU overlap).
+                ss = []
+                for u in range(num_halves):
+                    s = jax.lax.dot_general(
+                        q, k_strip[u * half:(u + 1) * half, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    if softcap2 is not None:
+                        s = softcap2 * jnp.tanh(s / softcap2)
+                    ss.append(s)
+
+                m_prev = m_scr[...]
+                l_prev = l_scr[...]
+                ps, alphas = [], []
+                for u in range(num_halves):
+                    s = ss[u]
+                    em = struct_mask(u, jj)
+                    if em is not None:
+                        s = jnp.where(em, s, MASK_VALUE)
+                    m_next = jnp.maximum(
+                        m_prev, jnp.max(s, axis=1, keepdims=True))
+                    alpha = jnp.exp2(m_prev - m_next)
+                    p = jnp.exp2(s - m_next[:, :1])
+                    if em is not None and needs_p_zero:
+                        p = jnp.where(em, p, 0.0)
+                    l_prev = (alpha * l_prev
+                              + jnp.sum(p, axis=1, keepdims=True))
+                    m_prev = m_next
+                    ps.append(p)
+                    alphas.append(alpha)
+                m_scr[...] = m_prev
+                l_scr[...] = l_prev
+
+                if resident:
+                    v_raw = v_hbm[0, 0, pl.ds(jj * block_kv, block_kv), :]
+                else:
+                    v_raw = v_scr[slot]
+                v_strip = dequant(v_raw, v_scale_ref)
+                acc = acc_scr[...]
+                for u in range(num_halves):
+                    vu = v_strip[u * half:(u + 1) * half, :]
+                    pv = jax.lax.dot_general(
+                        ps[u].astype(vu.dtype), vu,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
+                    acc = acc * alphas[u][:, :1] + pv
+                acc_scr[...] = acc
+                return 0
+
+            return body
+
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        if causal and window_size is None:
+            # Loop split: blocks wholly below the diagonal (last col
+            # <= this q block's min row) take the fast path; the
+            # <= ceil(bq/bkv)+1 diagonal-crossing blocks (plus the
+            # kv-padding block) take the masked path.
+            diag_start = jnp.clip(
+                jnp.floor_divide(i * block_q + offset, block_kv),
+                0, n_blocks)
+            if kv_len % block_kv:
+                # Keep the zero-padded last live block on the masked
+                # path (its padded columns need the kv_pad compare).
+                diag_start = jnp.minimum(diag_start, live_last)
+            jax.lax.fori_loop(0, diag_start, make_body(False), 0)
+            jax.lax.fori_loop(diag_start, n_blocks, make_body(True), 0)
+        else:
+            jax.lax.fori_loop(0, n_blocks, make_body(True), 0)
+
+        l_final = l_scr[:, :1]
+        safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
+        o_ref[0, 0] = (acc_scr[...] / safe_l).astype(out_dtype)
+        m_final = m_scr[:, 0]
+        l_vec = l_scr[:, 0]
+        lse2 = jnp.where(l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
+        l_ref[0, 0] = jnp.broadcast_to(
+            (lse2 * LN2)[None, :], l_ref.shape[2:])
+
+    return kernel
+
+
 def flash_attention_forward(
     q: jax.Array,
     k: jax.Array,
@@ -518,6 +790,117 @@ def flash_attention_forward(
     num_kv_blocks = c_pad // block_kv
     grid = (batch, q_heads, num_q_blocks, num_kv_blocks)
     offset = kv_len - q_len
+
+    # Causal / sliding-window without loaded mask/bias operands: the
+    # dynamic-traversal kernel visits only visible KV blocks (see
+    # _make_fwd_kernel_dynamic).  Loaded [bq, bkv] operands would need
+    # their own in-kernel DMA plumbing; those shapes fall back to the
+    # grid kernel, as does NF4 (packed-lane layout).
+    #
+    # Gate (measured v5e, D=128): at N=4096 the two designs tie
+    # (~750us causal, ~890us window — per-iteration latency dominates
+    # either way), but at N=16384 dynamic wins 3494us vs ~4100us
+    # (52-55% vs ~44% util-equiv) because the skipped-step population
+    # grows with N while the dynamic loop never visits those blocks.
+    use_dynamic = ((causal or window_size is not None)
+                   and not (has_mask or has_bias or has_mask2)
+                   and not is_nf4
+                   and kv_len >= 8192)
+    if _FORCE_DYNAMIC is not None:   # test/benchmark override
+        use_dynamic = use_dynamic if _FORCE_DYNAMIC else False
+    if use_dynamic:
+        precision = (jax.lax.Precision.HIGHEST
+                     if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
+                     else None)
+        out_dtype = q.dtype
+        # Resident mode: the K+V strip (plus Q/O/acc blocks) must fit
+        # the ~16 MiB of VMEM — budgeted at 2x because Mosaic may
+        # double-buffer the strip even on a constant index map
+        # (measured: an 8 MiB strip compiles at bq=1024 but OOMs at
+        # bq=2048 with a 30 MiB scoped allocation).  Beyond the budget
+        # the kernel DMAs per-block from HBM.
+        strip_bytes = 2 * c_pad * d_kv * jnp.dtype(kp.dtype).itemsize
+        resident = strip_bytes <= 4 * 1024 * 1024
+        kernel = _make_fwd_kernel_dynamic(
+            block_q=block_q, block_kv=block_kv, num_halves=num_halves,
+            num_kv_blocks=num_kv_blocks, q_len=q_len, kv_len=kv_len,
+            scale=scale, causal=causal, window_size=window_size,
+            has_segments=has_segments, out_dtype=out_dtype,
+            precision=precision, kv_precision=kv_precision, group=group,
+            logit_softcap=logit_softcap, resident=resident,
+        )
+        if resident:
+            # Whole strip on a constant index map: fetched once per
+            # (b, head), revisits are free.
+            kv_spec = pl.BlockSpec((1, 1, c_pad, d_kv),
+                                   lambda b, h, i, g=group: (b, h // g, 0, 0))
+        else:
+            # K/V stay in HBM; the kernel DMAs visible blocks itself.
+            kv_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d_pad),
+                         lambda b, h, i: (b, h, i, 0)),
+            kv_spec,
+            kv_spec,
+        ]
+        inputs = [qp, kp, vp]
+        if kv_precision is not None:
+            scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+            in_specs += [scale_spec, scale_spec]
+            inputs += [k_scales.astype(jnp.float32),
+                       v_scales.astype(jnp.float32)]
+        if has_segments:
+            qs = jnp.pad(q_segment_ids.astype(jnp.int32),
+                         ((0, 0), (0, r_pad - q_len)), constant_values=-1)
+            ks = jnp.pad(kv_segment_ids.astype(jnp.int32),
+                         ((0, 0), (0, c_pad - kv_len)), constant_values=-2)
+            qs_lanes = jnp.broadcast_to(
+                qs[:, :, None], (batch, r_pad, MIN_LANES))
+            # KV ids blocked [batch, nk, 8, bkv]: the kernel indexes
+            # block jj dynamically on a non-tiled leading dim.
+            ks_blk = jnp.broadcast_to(
+                ks.reshape(batch, num_kv_blocks, 1, block_kv),
+                (batch, num_kv_blocks, RESIDUAL_SUBLANES, block_kv))
+            in_specs.append(pl.BlockSpec(
+                (1, block_q, MIN_LANES), lambda b, h, i: (b, i, 0)))
+            inputs.append(qs_lanes)
+            in_specs.append(pl.BlockSpec(
+                (1, num_kv_blocks, RESIDUAL_SUBLANES, block_kv),
+                lambda b, h, i: (b, 0, 0, 0)))
+            inputs.append(ks_blk)
+
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=(batch, q_heads, num_q_blocks),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d_pad),
+                             lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
+                             lambda b, h, i: (b, h, 0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (batch, q_heads, r_pad, d_pad), out_dtype),
+                jax.ShapeDtypeStruct(
+                    (batch, q_heads, RESIDUAL_SUBLANES, r_pad),
+                    jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, d_pad), jnp.float32),
+            ] + ([] if resident else [
+                pltpu.VMEM((2, block_kv, d_kv), kp.dtype),
+                pltpu.VMEM((2, block_kv, d_kv), vp.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return o[:, :, :q_len, :head_dim], lse[:, :, 0, :q_len]
 
     def kv_index(b, h, i, j, g=group):
         # Clamp skipped blocks onto the visible range so block-level

@@ -317,3 +317,79 @@ def test_backward_logit_softcap(rng):
     g_ref = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
     for name, a, b in zip("qkv", g, g_ref):
         assert max_abs_err(a, b) < 5 * fp32_kernel_tol(), name
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-traversal kernel (long-context causal/window path): forced on
+# small shapes via the module override so CPU tests pin its behavior.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def force_dynamic():
+    import metal_flash_attention_tpu.ops.flash_attention as famod
+    famod = __import__(
+        "metal_flash_attention_tpu.ops.flash_attention",
+        fromlist=["_FORCE_DYNAMIC"])
+    famod._FORCE_DYNAMIC = True
+    yield famod
+    famod._FORCE_DYNAMIC = None
+
+
+@pytest.mark.parametrize("n,c,d", [(256, 512, 64), (200, 333, 77),
+                                   (512, 512, 128)])
+def test_dynamic_causal_matches_golden(rng, force_dynamic, n, c, d):
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, c, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True,
+                                     block_q=128, block_kv=128)
+    o_ref, lse_ref = golden_batched(q, k, v, causal=True)
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+    assert max_abs_err(lse, lse_ref) < fp32_kernel_tol()
+
+
+def test_dynamic_window_matches_golden(rng, force_dynamic):
+    n, d, w = 300, 64, 100
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, n, d))
+    o, _ = flash_attention_forward(q, k, v, window_size=w,
+                                   block_q=128, block_kv=128)
+    o_ref = golden_batched(q, k, v, window_size=w)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_dynamic_causal_offset_negative_rows(rng, force_dynamic):
+    """q_len > kv_len: leading rows have no visible columns (O = 0,
+    L = -inf) — exercises n_blocks = 0 and the p-zero select."""
+    n, c, d = 300, 100, 64
+    q, k, v = make_qkv(rng, (1, 1, n, d), (1, 1, c, d))
+    o, lse = flash_attention_forward(q, k, v, causal=True,
+                                     block_q=128, block_kv=128)
+    o_ref = golden_batched(q, k, v, causal=True)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_dynamic_segments_causal(rng, force_dynamic):
+    n, d = 256, 64
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, n, d))
+    ids = jnp.asarray(
+        np.repeat(np.arange(4), n // 4)[None, :], jnp.int32)
+    o, _ = flash_attention_forward(
+        q, k, v, causal=True, q_segment_ids=ids, kv_segment_ids=ids,
+        block_q=128, block_kv=128)
+    mask = ids[0][:, None] == ids[0][None, :]
+    o_ref = golden_batched(q, k, v, causal=True, mask=mask)[0]
+    assert max_abs_err(o, o_ref) < fp32_kernel_tol()
+
+
+def test_dynamic_quantized_kv_causal(rng, force_dynamic):
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.quantization import quantize
+
+    n, d = 256, 128
+    q, k, v = make_qkv(rng, (1, 2, n, d), (1, 2, n, d))
+    kq = quantize(k, OperandPrecision.INT8)
+    vq = quantize(v, OperandPrecision.INT8)
+    o, _ = flash_attention_forward(q, kq, vq, causal=True,
+                                   block_q=128, block_kv=128)
+    o_ref = golden_batched(q, k, v, causal=True)[0]
+    assert max_abs_err(o, o_ref) < 5e-2
