@@ -1,0 +1,235 @@
+"""Gemma-2-style transformer on the fused attention kernels.
+
+Second model family (the reference has no model layer at all — this,
+like models/llama.py, is part of the serving/training surface built on
+the kernel engine).  Exercises the kernel features Llama does not:
+
+- **Alternating local/global attention**: even layers use sliding-
+  window attention (``window_size``), odd layers full causal — the
+  kernel's window path (dynamic-traversal block skip for long
+  context).
+- **Logit soft-capping**: ``cap * tanh(s / cap)`` on attention logits
+  (fused into the fwd/bwd kernels' exp2 domain) and on the final LM
+  logits.
+- Gemma conventions: RMSNorm with (1 + w) gain, pre- *and* post-
+  attention/MLP norms, GeGLU MLP, embedding scaled by sqrt(dim),
+  embedding/LM-head weight tying.
+
+Sharding mirrors models/llama.py: DP over batch, TP over heads/MLP
+hidden via param shardings, attention core under shard_map
+(communication-free: GQA KV heads co-located with their query group).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from metal_flash_attention_tpu.models.llama import (
+    apply_rope,
+    rope_frequencies,
+)
+from metal_flash_attention_tpu.ops.flash_attention import flash_attention
+from metal_flash_attention_tpu.parallel.mesh import DATA_AXIS, HEAD_AXIS
+
+
+@dataclass(frozen=True)
+class GemmaConfig:
+    vocab_size: int = 256128
+    dim: int = 2304
+    n_layers: int = 26
+    n_heads: int = 8
+    n_kv_heads: int = 4
+    head_dim: int = 256
+    hidden_dim: int = 9216
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-6
+    sliding_window: int = 4096
+    attn_logit_softcap: Optional[float] = 50.0
+    final_logit_softcap: Optional[float] = 30.0
+    # Gemma-2 27B uses query_pre_attn_scalar != head_dim; expose it.
+    query_pre_attn_scalar: Optional[float] = None
+    dtype: object = jnp.bfloat16
+
+    @property
+    def attn_scale(self) -> float:
+        s = self.query_pre_attn_scalar or self.head_dim
+        return 1.0 / math.sqrt(s)
+
+    @staticmethod
+    def tiny(**kw) -> "GemmaConfig":
+        defaults = dict(vocab_size=256, dim=128, n_layers=2, n_heads=4,
+                        n_kv_heads=2, head_dim=32, hidden_dim=256,
+                        sliding_window=64)
+        defaults.update(kw)
+        return GemmaConfig(**defaults)
+
+    @staticmethod
+    def gemma2_2b(**kw) -> "GemmaConfig":
+        return GemmaConfig(**kw)
+
+
+def is_local_layer(i: int) -> bool:
+    """Gemma-2 alternation: even layers sliding-window, odd global."""
+    return i % 2 == 0
+
+
+def init_params(rng: jax.Array, cfg: GemmaConfig) -> dict:
+    keys = jax.random.split(rng, cfg.n_layers + 1)
+
+    def dense(key, shape):
+        fan_in = shape[0]
+        return (jax.random.normal(key, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers = []
+    qkv_dim = cfg.n_heads * cfg.head_dim
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "wq": dense(ks[0], (cfg.dim, qkv_dim)),
+            "wk": dense(ks[1], (cfg.dim, kv_dim)),
+            "wv": dense(ks[2], (cfg.dim, kv_dim)),
+            "wo": dense(ks[3], (qkv_dim, cfg.dim)),
+            "w_gate": dense(ks[4], (cfg.dim, cfg.hidden_dim)),
+            "w_up": dense(ks[5], (cfg.dim, cfg.hidden_dim)),
+            "w_down": dense(ks[6], (cfg.hidden_dim, cfg.dim)),
+            # Gemma norms: gain stored as w, applied as (1 + w).
+            "pre_attn_norm": jnp.zeros((cfg.dim,), jnp.float32),
+            "post_attn_norm": jnp.zeros((cfg.dim,), jnp.float32),
+            "pre_mlp_norm": jnp.zeros((cfg.dim,), jnp.float32),
+            "post_mlp_norm": jnp.zeros((cfg.dim,), jnp.float32),
+        })
+    return {
+        # Tied embedding / LM head (Gemma convention).
+        "embed": dense(keys[-1], (cfg.vocab_size, cfg.dim)),
+        "layers": layers,
+        "final_norm": jnp.zeros((cfg.dim,), jnp.float32),
+    }
+
+
+def param_shardings(cfg: GemmaConfig, mesh: Mesh) -> dict:
+    col = NamedSharding(mesh, P(None, HEAD_AXIS))
+    row = NamedSharding(mesh, P(HEAD_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    layer = {
+        "wq": col, "wk": col, "wv": col, "wo": row,
+        "w_gate": col, "w_up": col, "w_down": row,
+        "pre_attn_norm": rep, "post_attn_norm": rep,
+        "pre_mlp_norm": rep, "post_mlp_norm": rep,
+    }
+    return {
+        "embed": rep,
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+        "final_norm": rep,
+    }
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """Gemma RMSNorm: gain applied as (1 + w)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * (1.0 + w)).astype(x.dtype)
+
+
+def attention_block(
+    layer: dict, x: jax.Array, cfg: GemmaConfig, cos, sin, *,
+    window: Optional[int], kv_cache: Optional[tuple] = None,
+    mesh: Optional[Mesh] = None,
+):
+    b, s, _ = x.shape
+    h = rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
+    q = (h @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = (h @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if kv_cache is not None:
+        k = jnp.concatenate([kv_cache[0], k], axis=2)
+        v = jnp.concatenate([kv_cache[1], v], axis=2)
+
+    def attn(q_, k_, v_):
+        return flash_attention(
+            q_, k_, v_, causal=True, window_size=window,
+            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap)
+
+    if mesh is None:
+        o = attn(q, k, v)
+    else:
+        spec = P(DATA_AXIS, HEAD_AXIS, None, None)
+        o = shard_map(attn, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec, check_vma=False)(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    o = (o @ layer["wo"]).astype(x.dtype)
+    o = rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
+    return x + o, (k, v)
+
+
+def mlp_block(layer: dict, x: jax.Array, cfg: GemmaConfig) -> jax.Array:
+    h = rms_norm(x, layer["pre_mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.gelu((h @ layer["w_gate"]).astype(jnp.float32),
+                       approximate=True)
+    up = (h @ layer["w_up"]).astype(jnp.float32)
+    o = ((gate * up).astype(x.dtype) @ layer["w_down"]).astype(x.dtype)
+    o = rms_norm(o, layer["post_mlp_norm"], cfg.norm_eps)
+    return x + o
+
+
+def forward(
+    params: dict, tokens: jax.Array, cfg: GemmaConfig,
+    *, positions: Optional[jax.Array] = None,
+    kv_caches: Optional[list] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+
+    # rope_frequencies reads head_dim off the config; GemmaConfig
+    # carries an explicit head_dim so it duck-types.
+    cos, sin = rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    x = x * jnp.asarray(math.sqrt(cfg.dim), cfg.dtype)  # Gemma scaling
+    new_caches = []
+    for i, layer in enumerate(params["layers"]):
+        window = cfg.sliding_window if is_local_layer(i) else None
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, kv = attention_block(layer, x, cfg, cos, sin, window=window,
+                                kv_cache=cache, mesh=mesh)
+        new_caches.append(kv)
+        x = mlp_block(layer, x, cfg)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["embed"].T).astype(jnp.float32)  # tied head
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, new_caches
+
+
+def loss_fn(params: dict, tokens: jax.Array, cfg: GemmaConfig,
+            **kw) -> jax.Array:
+    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def train_step(params: dict, tokens: jax.Array, cfg: GemmaConfig,
+               lr: float = 1e-4, **kw):
+    loss, grads = jax.value_and_grad(
+        lambda p: loss_fn(p, tokens, cfg, **kw))(params)
+    new_params = jax.tree.map(
+        lambda p, g: (p.astype(jnp.float32)
+                      - lr * g.astype(jnp.float32)).astype(p.dtype),
+        params, grads)
+    return new_params, loss
