@@ -42,3 +42,19 @@ __all__ += [
     "zigzag_shard",
     "zigzag_unshard",
 ]
+
+from metal_flash_attention_tpu.parallel.pipeline import (
+    STAGE_AXIS,
+    make_pipeline_mesh,
+    pipeline,
+    stack_stage_params,
+    stage_param_sharding,
+)
+
+__all__ += [
+    "pipeline",
+    "make_pipeline_mesh",
+    "stack_stage_params",
+    "stage_param_sharding",
+    "STAGE_AXIS",
+]

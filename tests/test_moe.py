@@ -1,0 +1,85 @@
+"""MoE layer + expert parallelism (GShard-style dispatch/combine)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.models import moe
+
+
+def test_route_respects_capacity_and_topk(rng):
+    t, e, k, cap = 16, 4, 2, 16  # capacity ample: no overflow
+    gates = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((t, e)), jnp.float32), axis=-1)
+    dispatch, combine, aux = moe.route(gates, k, cap)
+    # Each token dispatched to at most k (expert, slot) pairs.
+    per_token = jnp.sum(dispatch, axis=(1, 2))
+    assert float(jnp.max(per_token)) <= k + 1e-6
+    # Each (expert, slot) bucket holds at most one token.
+    per_slot = jnp.sum(dispatch, axis=0)
+    assert float(jnp.max(per_slot)) <= 1 + 1e-6
+    # Combine weights are gates renormalized over the selected k.
+    tok_weight = jnp.sum(combine, axis=(1, 2))
+    assert float(jnp.max(jnp.abs(tok_weight - 1.0))) < 1e-5  # cap ample
+    assert bool(jnp.isfinite(aux))
+
+
+def test_route_drops_overflow(rng):
+    """With capacity 1 and every token preferring expert 0, only one
+    token lands there; the rest lose that expert's weight."""
+    t, e = 8, 2
+    gates = jnp.broadcast_to(jnp.asarray([0.9, 0.1]), (t, e))
+    dispatch, combine, _ = moe.route(gates, 1, 1)
+    assert float(jnp.sum(dispatch[:, 0, :])) == 1.0
+
+
+def test_moe_top1_identical_experts_equals_dense(rng):
+    """With identical expert weights and ample capacity, top-1 MoE
+    equals the plain dense SwiGLU FFN."""
+    cfg = moe.MoEConfig.tiny(n_experts=4, top_k=1, capacity_factor=8.0,
+                             dtype=jnp.float32)
+    params = moe.init_moe_ffn(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    for k in ("w_gate", "w_up", "w_down"):
+        params[k] = jnp.broadcast_to(params[k][:1], params[k].shape)
+    x = jnp.asarray(rng.standard_normal((2, 16, cfg.dim)), jnp.float32)
+    y, _ = moe.moe_ffn(params, x, cfg)
+    gate = jax.nn.silu(x @ params["w_gate"][0])
+    dense = (gate * (x @ params["w_up"][0])) @ params["w_down"][0]
+    assert float(jnp.max(jnp.abs(y - dense))) < 1e-3
+
+
+def test_moe_model_forward_and_train(rng):
+    cfg = moe.MoEConfig.tiny()
+    params = moe.init_params(jax.random.PRNGKey(1), cfg)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2, 64)), jnp.int32)
+    logits, caches, aux = moe.forward(params, tokens, cfg)
+    assert logits.shape == (2, 64, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all()) and bool(jnp.isfinite(aux))
+    l0 = moe.loss_fn(params, tokens, cfg)
+    p = params
+    for _ in range(4):
+        p, l1 = moe.train_step(p, tokens, cfg, lr=1e-2)
+    assert float(l1) < float(l0)
+
+
+def test_moe_ep_sharded_matches_single(rng):
+    """DP x EP forward equals the unsharded forward (the all-to-alls
+    XLA inserts are semantics-preserving)."""
+    from metal_flash_attention_tpu.parallel.mesh import make_mesh
+
+    cfg = moe.MoEConfig.tiny(n_experts=4, dtype=jnp.float32)
+    params = moe.init_params(jax.random.PRNGKey(2), cfg)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+    ref, _, aux_ref = moe.forward(params, tokens, cfg)
+
+    mesh = make_mesh(data=2, heads=2)
+    shardings = moe.param_shardings(cfg, mesh)
+    sharded = jax.device_put(params, shardings)
+    out, _, aux = jax.jit(
+        lambda p, t: moe.forward(p, t, cfg, mesh=mesh))(sharded, tokens)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+    assert abs(float(aux) - float(aux_ref)) < 1e-3
