@@ -102,6 +102,40 @@ def bench_decode(*, floor, precision=None):
     return batch / secs  # tokens/s/chip
 
 
+def bench_paged(*, floor, precision=None):
+    """Paged decode against a shuffled page pool (vLLM layout), bf16 or
+    INT8/FP8 quantized pages."""
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        PagedKVCache,
+        paged_decode,
+        quantize_paged,
+    )
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s, page = 8, 32, 8, 128, 8192, 128
+    max_pages = s // page
+    num_pages = batch * max_pages
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((num_pages, kvh, page, d)),
+                     jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((num_pages, kvh, page, d)),
+                     jnp.bfloat16)
+    perm = np.random.default_rng(7).permutation(num_pages)
+    table = jnp.asarray(perm.reshape(batch, max_pages), jnp.int32)
+    cache = PagedKVCache(kp, vp, table,
+                         jnp.full((batch,), s, jnp.int32))
+    if precision is not None:
+        cache = quantize_paged(cache, precision)
+
+    def one(q, cache):
+        o = paged_decode(q, cache)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    secs = time_scalar_fn(one, (q, cache), iters=64, dispatch_floor=floor)
+    return batch / secs  # tokens/s/chip
+
+
 def bench_gemm(size, *, floor):
     from metal_flash_attention_tpu.ops.gemm import gemm
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
@@ -194,6 +228,16 @@ def main():
         print(f"# {d:4d} {n:5d} {f:12.0f} {fu:6.1%} {b:10.0f} {bu:6.1%}"
               f" {c:10.0f} {cu:6.1%}", file=err)
 
+    # Long-context causal: N = 16384 exercises the dynamic-traversal
+    # kernel (grid designs pay ~59% of a live step per skipped block;
+    # the dynamic loop never visits them).
+    try:
+        c16 = bench_attention(16384, 128, 2, floor=floor, causal=True)
+        print(f"# causal long-context D=128 N=16384: {c16:8.0f} GINSTRS/s"
+              f" ({c16 / roof:5.1%} util)", file=err)
+    except Exception as e:
+        print(f"# causal 16K: FAIL {type(e).__name__}", file=err)
+
     print("# decode tok/s/chip (b=8, 8 KV heads, D=128, S=8192):",
           file=err)
     for name, prec in (("bf16", None),
@@ -201,6 +245,17 @@ def main():
                        ("fp8_e4m3", OperandPrecision.FP8_E4M3)):
         try:
             toks = bench_decode(floor=floor, precision=prec)
+            print(f"#   {name:9s} {toks:10.0f}", file=err)
+        except Exception as e:
+            print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
+
+    print("# paged decode tok/s/chip (b=8, 8 KV heads, D=128, S=8192, "
+          "page=128):", file=err)
+    for name, prec in (("bf16", None),
+                       ("int8", OperandPrecision.INT8),
+                       ("fp8_e4m3", OperandPrecision.FP8_E4M3)):
+        try:
+            toks = bench_paged(floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
