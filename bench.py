@@ -98,7 +98,9 @@ def bench_decode(*, floor, precision=None):
         o = flash_decode(q, k, v, kv_lens=lens)
         return o[0, 0, :1].astype(jnp.float32).sum()
 
-    secs = time_scalar_fn(one, (q, k, v), iters=64, dispatch_floor=floor)
+    # 256 iterations ~ 90 ms in-jit: comfortably above the dispatch
+    # floor (64 iterations sat at ~the floor and bounced +/-10%).
+    secs = time_scalar_fn(one, (q, k, v), iters=256, dispatch_floor=floor)
     return batch / secs  # tokens/s/chip
 
 
@@ -132,7 +134,8 @@ def bench_paged(*, floor, precision=None):
         o = paged_decode(q, cache)
         return o[0, 0, :1].astype(jnp.float32).sum()
 
-    secs = time_scalar_fn(one, (q, cache), iters=64, dispatch_floor=floor)
+    secs = time_scalar_fn(one, (q, cache), iters=256,
+                          dispatch_floor=floor)
     return batch / secs  # tokens/s/chip
 
 
@@ -147,8 +150,11 @@ def bench_gemm(size, *, floor):
     def one(a, b):
         return gemm(a, b)[0, :1].astype(jnp.float32).sum()
 
-    # Small GEMMs take microseconds; amortize far past the rtt noise.
-    iters = max(ITERS, int(2e9 * ITERS / (2 * size**3)))
+    # Amortize far past the ~25 ms dispatch floor: when total in-jit
+    # time is comparable to the floor, the floor subtraction noise
+    # dominates (512^3 measured anywhere from 40 to 106 TFLOPS at 128
+    # iterations).  Target ~200 ms of compute per timing run.
+    iters = min(200_000, max(ITERS, int(4e13 / (2 * size**3))))
     secs = time_scalar_fn(one, (a, b), iters=iters, dispatch_floor=floor)
     return 2 * size**3 / secs  # FLOPS
 
