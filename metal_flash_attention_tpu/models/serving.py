@@ -227,3 +227,114 @@ def decode_step_quantized(
     return logits, QuantizedKVCache(
         cache.k_q, cache.v_q, k_tail_out, v_tail_out,
         cache.prefix_len, cache.tail_len + 1)
+
+
+# ---------------------------------------------------------------------------
+# Gemma-2-style serving: alternating local/global layers
+# ---------------------------------------------------------------------------
+
+def gemma_prefill(params: dict, tokens: jax.Array, cfg,
+                  cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """Prefill for models/gemma.py: local layers run sliding-window
+    attention, global layers full causal; logits soft-capped."""
+    from metal_flash_attention_tpu.models import gemma
+
+    b, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    x = x * jnp.asarray(float(cfg.dim) ** 0.5, cfg.dtype)
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        window = (cfg.sliding_window if gemma.is_local_layer(i)
+                  else None)
+        x, (k_layer, v_layer) = gemma.attention_block(
+            layer, x, cfg, cos, sin, window=window)
+        new_k.append(k_layer)
+        new_v.append(v_layer)
+        x = gemma.mlp_block(layer, x, cfg)
+    x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+
+    k_cache = [
+        jax.lax.dynamic_update_slice(c, k.astype(c.dtype), (0, 0, 0, 0))
+        for c, k in zip(cache.k, new_k)]
+    v_cache = [
+        jax.lax.dynamic_update_slice(c, v.astype(c.dtype), (0, 0, 0, 0))
+        for c, v in zip(cache.v, new_v)]
+    return logits, KVCache(k_cache, v_cache,
+                           jnp.full_like(cache.lengths, s))
+
+
+def gemma_decode_step(params: dict, token: jax.Array, cfg,
+                      cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """One Gemma decode step: local layers attend through a
+    `kv_starts` window (ops.flash_decode sliding-window decode),
+    attention logits soft-capped in-kernel."""
+    from metal_flash_attention_tpu.models import gemma
+
+    b = token.shape[0]
+    positions = cache.lengths[:, None]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    x = x * jnp.asarray(float(cfg.dim) ** 0.5, cfg.dtype)
+    k_out, v_out = [], []
+    new_lens = cache.lengths + 1
+    for li, layer in enumerate(params["layers"]):
+        h = gemma.rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+
+        def write(c, n):
+            return jax.vmap(lambda cc, nn, pos: jax.lax.dynamic_update_slice(
+                cc, nn.astype(cc.dtype), (0, pos, 0)))(
+                c, n, cache.lengths)
+        kc = write(cache.k[li], k)
+        vc = write(cache.v[li], v)
+        k_out.append(kc)
+        v_out.append(vc)
+
+        kv_starts = None
+        if gemma.is_local_layer(li):
+            kv_starts = jnp.maximum(new_lens - cfg.sliding_window, 0)
+        o = flash_decode(
+            q[:, :, 0], kc, vc, kv_lens=new_lens, kv_starts=kv_starts,
+            scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap)
+        o = o.reshape(b, 1, -1)
+        o = (o @ layer["wo"]).astype(x.dtype)
+        o = gemma.rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + o
+        x = gemma.mlp_block(layer, x, cfg)
+    x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, KVCache(k_out, v_out, new_lens)
+
+
+def gemma_generate(params: dict, prompt: jax.Array, cfg,
+                   *, max_new_tokens: int,
+                   max_seq: Optional[int] = None) -> jax.Array:
+    """Greedy generation for the Gemma family."""
+    b, s = prompt.shape
+    max_seq = max_seq or (s + max_new_tokens)
+    cache = init_cache(cfg, b, max_seq)
+    logits, cache = jax.jit(gemma_prefill, static_argnames=("cfg",))(
+        params, prompt, cfg, cache)
+    step = jax.jit(gemma_decode_step, static_argnames=("cfg",),
+                   donate_argnums=(3,))
+    tokens = [prompt]
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(max_new_tokens):
+        tokens.append(token[:, None])
+        logits, cache = step(params, token, cfg, cache)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.concatenate(tokens, axis=1)

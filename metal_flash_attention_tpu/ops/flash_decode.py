@@ -85,15 +85,20 @@ def _make_decode_kernel(
     kv_len_static: int,
     scale: float,
     has_lens: bool,
+    has_starts: bool = False,
     out_dtype,
     kv_precision=None,
     precision=None,
+    logit_softcap=None,
 ):
     scale_log2e = scale * LOG2E
+    # Softcap in the base-2 logit domain (see flash_attention.py).
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
 
     def kernel(*refs):
         it = iter(refs)
         lens_ref = next(it) if has_lens else None
+        starts_ref = next(it) if has_starts else None
         q_ref = next(it)
         k_ref = next(it)
         v_ref = next(it)
@@ -116,6 +121,7 @@ def _make_decode_kernel(
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         kv_len = lens_ref[b] if has_lens else kv_len_static
+        kv_start = starts_ref[b] if has_starts else 0
 
         def body():
             q = q_ref[0, 0]
@@ -132,10 +138,16 @@ def _make_decode_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [group_pad, block_kv]
-            # Tail masking: one compare against the live length.
+            if softcap2 is not None:
+                s = softcap2 * jnp.tanh(s / softcap2)
+            # Tail masking: one compare against the live length (+ one
+            # against the window start for sliding-window decode).
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (group_pad, block_kv), 1) + j * block_kv
-            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+            live = cols < kv_len
+            if has_starts:
+                live = jnp.logical_and(live, cols >= kv_start)
+            s = jnp.where(live, s, MASK_VALUE)
 
             m_prev = m_scr[...]
             l_prev = l_scr[...]
@@ -150,8 +162,12 @@ def _make_decode_kernel(
             )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-        if has_lens:
-            pl.when(j * block_kv < kv_len)(body)
+        if has_lens or has_starts:
+            should = j * block_kv < kv_len
+            if has_starts:
+                should = jnp.logical_and(
+                    should, (j + 1) * block_kv > kv_start)
+            pl.when(should)(body)
         else:
             body()
 
@@ -175,7 +191,9 @@ def flash_decode(
     v,
     *,
     kv_lens: Optional[jax.Array] = None,
+    kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
     block_kv: int = 2048,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
@@ -190,6 +208,12 @@ def flash_decode(
             batching; defaults to the full cache length.  The query
             token itself must already be written into the cache (its
             position is kv_lens - 1).
+        kv_starts: optional int32 [batch] first attended position —
+            sliding-window decode (Gemma-2-style local layers): pass
+            max(0, kv_lens - window).  Blocks before the start are
+            skipped like dead-tail blocks.
+        logit_softcap: Gemma-2-style cap * tanh(s / cap) on the
+            attention logits.
 
     Returns:
         o [batch, q_heads, head_dim]  (+ lse [batch, q_heads] when
@@ -238,6 +262,7 @@ def flash_decode(
     vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
 
     has_lens = kv_lens is not None
+    has_starts = kv_starts is not None
     # FP32 inputs demand true FP32 MXU passes (the 2e-5 regime).
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
@@ -245,23 +270,35 @@ def flash_decode(
     kernel = _make_decode_kernel(
         group=group, group_pad=group_pad, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,
-        has_lens=has_lens, out_dtype=q.dtype, kv_precision=kv_precision,
-        precision=mxu_precision,
+        has_lens=has_lens, has_starts=has_starts, out_dtype=q.dtype,
+        kv_precision=kv_precision, precision=mxu_precision,
+        logit_softcap=logit_softcap,
     )
 
     in_specs = []
     inputs = []
     num_scalar_prefetch = 0
     if has_lens:
-        num_scalar_prefetch = 1
+        num_scalar_prefetch += 1
         inputs.append(kv_lens.astype(jnp.int32))
+    if has_starts:
+        num_scalar_prefetch += 1
+        inputs.append(kv_starts.astype(jnp.int32))
 
     def kv_index(b, h, j, *prefetch):
+        jj = j
+        it = iter(prefetch)
         if has_lens:
-            lens = prefetch[0]
+            lens = next(it)
             # Clamp dead tail steps onto the last live block.
             last = jnp.maximum(pl.cdiv(lens[b], block_kv) - 1, 0)
-            return (b, h, jnp.minimum(j, last), 0)
+            jj = jnp.minimum(jj, last)
+        if has_starts:
+            starts = next(it)
+            # Clamp dead leading (pre-window) steps forward.
+            jj = jnp.maximum(jj, starts[b] // block_kv)
+        if has_lens or has_starts:
+            return (b, h, jj, 0)
         return (b, h, j, 0)
 
     in_specs.append(pl.BlockSpec(

@@ -146,3 +146,43 @@ def test_decode_nf4_via_prefill(rng):
                           kv_lens=kv_lens)
     assert o.shape == (batch, q_heads, d)
     assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
+
+
+def test_decode_sliding_window_starts(rng):
+    """kv_starts masks positions before the window (Gemma-2 local
+    layers at decode time)."""
+    batch, qh, kvh, s, d = 3, 4, 2, 640, 64
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    kv_lens = jnp.asarray([640, 500, 130], jnp.int32)
+    window = 256
+    kv_starts = jnp.maximum(kv_lens - window, 0)
+    o = flash_decode(q, k, v, kv_lens=kv_lens, kv_starts=kv_starts,
+                     block_kv=256)
+
+    # Golden: zero out everything outside [start, len).
+    cols = jnp.arange(s)
+    live = ((cols[None, :] < kv_lens[:, None])
+            & (cols[None, :] >= kv_starts[:, None]))
+    kk = jnp.repeat(k, qh // kvh, axis=1)
+    vv = jnp.repeat(v, qh // kvh, axis=1)
+    sc = jnp.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    sc = jnp.where(live[:, None, :], sc, -jnp.inf)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, axis=-1), vv)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()
+
+
+def test_decode_logit_softcap(rng):
+    batch, qh, kvh, s, d, cap = 2, 4, 2, 300, 64, 20.0
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    o = flash_decode(q, k, v, logit_softcap=cap, block_kv=256)
+
+    kk = jnp.repeat(k, qh // kvh, axis=1)
+    vv = jnp.repeat(v, qh // kvh, axis=1)
+    sc = jnp.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    sc = cap * jnp.tanh(sc / cap)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, axis=-1), vv)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()

@@ -110,3 +110,44 @@ def test_sharded_forward_matches_single(rng):
     out, _ = jax.jit(
         lambda p, t: gemma.forward(p, t, cfg, mesh=mesh))(sharded, tokens)
     assert float(jnp.max(jnp.abs(ref - out))) < 5e-2  # bf16 accum order
+
+
+def test_serving_decode_matches_forward(rng):
+    """The flash_decode-based serving path (windowed local layers via
+    kv_starts, in-kernel softcap) reproduces the training-graph
+    logits."""
+    from metal_flash_attention_tpu.models.serving import (
+        gemma_decode_step,
+        gemma_prefill,
+        init_cache,
+    )
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32, dtype=jnp.float32)
+    params = gemma.init_params(jax.random.PRNGKey(6), cfg)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2, 80)), jnp.int32)
+    full_logits, _ = gemma.forward(params, tokens, cfg)
+
+    cache = init_cache(cfg, 2, 96)
+    prefix = tokens[:, :64]
+    logits, cache = gemma_prefill(params, prefix, cfg, cache)
+    err0 = float(jnp.max(jnp.abs(logits - full_logits[:, 63])))
+    assert err0 < 5e-3, err0
+    for t in range(64, 80):
+        logits, cache = gemma_decode_step(
+            params, tokens[:, t], cfg, cache)
+        if t + 1 < 80:
+            err = float(jnp.max(jnp.abs(logits - full_logits[:, t])))
+            assert err < 5e-3, (t, err)
+
+
+def test_gemma_generate_runs(rng):
+    from metal_flash_attention_tpu.models.serving import gemma_generate
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=16)
+    params = gemma.init_params(jax.random.PRNGKey(7), cfg)
+    prompt = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    out = gemma_generate(params, prompt, cfg, max_new_tokens=4)
+    assert out.shape == (2, 12)
+    assert bool((out[:, :8] == prompt).all())
