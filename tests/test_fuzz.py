@@ -108,3 +108,94 @@ def test_fuzz_gradients(trial):
     for name, a, b in zip("qkv", g, g_ref):
         assert max_abs_err(a, b) < 1e-4 * max(1, n // 64), (
             trial, n, d, causal, name)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_dynamic_traversal(trial):
+    """Same fuzz as test_fuzz_forward but forced onto the dynamic
+    kernel (long-context causal/window path), random block sizes."""
+    import metal_flash_attention_tpu.ops.flash_attention as _famod
+    famod = __import__("metal_flash_attention_tpu.ops.flash_attention",
+                       fromlist=["_FORCE_DYNAMIC"])
+
+    r = np.random.default_rng(900 + trial)
+    q_len = cubed_uniform(r, 1, 600)
+    kv_len = cubed_uniform(r, 1, 600)
+    d = cubed_uniform(r, 8, 200)
+    group = int(r.choice([1, 2, 4]))
+    kv_heads = int(r.choice([1, 2]))
+    q_heads = kv_heads * group
+    batch = int(r.choice([1, 2]))
+    causal = True
+    window = (int(r.integers(1, max(kv_len, 2)))
+              if r.integers(2) else None)
+    dtype = jnp.float32 if r.integers(2) else jnp.bfloat16
+    bq = int(r.choice([128, 256]))
+    bkv = int(r.choice([128, 256]))
+
+    q = jnp.asarray(r.standard_normal((batch, q_heads, q_len, d)), dtype)
+    k = jnp.asarray(r.standard_normal((batch, kv_heads, kv_len, d)), dtype)
+    v = jnp.asarray(r.standard_normal((batch, kv_heads, kv_len, d)), dtype)
+
+    famod._FORCE_DYNAMIC = True
+    try:
+        o, lse = flash_attention_forward(
+            q, k, v, causal=causal, window_size=window,
+            block_q=bq, block_kv=bkv)
+    finally:
+        famod._FORCE_DYNAMIC = None
+
+    kk = jnp.repeat(k, group, axis=1).astype(jnp.float32)
+    vv = jnp.repeat(v, group, axis=1).astype(jnp.float32)
+    outs = []
+    for b in range(batch):
+        for h in range(q_heads):
+            outs.append(attention_reference(
+                q[b, h].astype(jnp.float32), kk[b, h], vv[b, h],
+                causal=causal, window_size=window))
+    o_ref = jnp.stack(outs).reshape(batch, q_heads, q_len, d)
+
+    tol = tolerances_for(dtype)
+    cfg = (trial, q_len, kv_len, d, group, window, bq, bkv,
+           dtype.__name__)
+    finite_rows = jnp.isfinite(lse)[..., None]
+    err = jnp.max(jnp.abs(jnp.where(
+        finite_rows, o.astype(jnp.float32) - o_ref, 0.0)))
+    assert float(err) < tol.o, cfg
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_windowed_decode(trial):
+    """Random kv_lens/kv_starts decode vs a masked golden."""
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+
+    r = np.random.default_rng(1700 + trial)
+    batch = int(r.integers(1, 5))
+    kv_heads = int(r.choice([1, 2]))
+    group = int(r.choice([1, 2, 8]))
+    q_heads = kv_heads * group
+    d = int(r.choice([64, 128]))
+    s = int(r.integers(64, 900))
+    block_kv = int(r.choice([128, 256]))
+    lens = r.integers(1, s + 1, batch)
+    window = int(r.integers(1, s))
+    starts = np.maximum(lens - window, 0)
+
+    q = jnp.asarray(r.standard_normal((batch, q_heads, d)), jnp.float32)
+    k = jnp.asarray(r.standard_normal((batch, kv_heads, s, d)),
+                    jnp.float32)
+    v = jnp.asarray(r.standard_normal((batch, kv_heads, s, d)),
+                    jnp.float32)
+    o = flash_decode(q, k, v, kv_lens=jnp.asarray(lens, jnp.int32),
+                     kv_starts=jnp.asarray(starts, jnp.int32),
+                     block_kv=block_kv)
+
+    cols = np.arange(s)
+    live = ((cols[None] < lens[:, None]) & (cols[None] >= starts[:, None]))
+    kk = jnp.repeat(k, group, axis=1)
+    vv = jnp.repeat(v, group, axis=1)
+    sc = jnp.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    sc = jnp.where(jnp.asarray(live)[:, None], sc, -jnp.inf)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, -1), vv)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-5, (
+        trial, batch, q_heads, d, s, block_kv, lens, starts)
