@@ -167,14 +167,19 @@ def moe_ffn(params: dict, x: jax.Array, cfg: MoEConfig,
     return y.reshape(b, s, d).astype(x.dtype), aux
 
 
-def init_params(rng: jax.Array, cfg: MoEConfig) -> dict:
-    """Llama backbone params with MoE FFNs."""
-    base_cfg = llama.LlamaConfig(
+def _base_cfg(cfg: MoEConfig) -> llama.LlamaConfig:
+    """The Llama backbone config this MoE model wraps (single source of
+    truth for init_params and forward)."""
+    return llama.LlamaConfig(
         vocab_size=cfg.vocab_size, dim=cfg.dim, n_layers=cfg.n_layers,
         n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
         hidden_dim=cfg.hidden_dim, rope_theta=cfg.rope_theta,
         norm_eps=cfg.norm_eps, dtype=cfg.dtype)
-    params = llama.init_params(rng, base_cfg)
+
+
+def init_params(rng: jax.Array, cfg: MoEConfig) -> dict:
+    """Llama backbone params with MoE FFNs."""
+    params = llama.init_params(rng, _base_cfg(cfg))
     moe_keys = jax.random.split(jax.random.fold_in(rng, 1), cfg.n_layers)
     for i, layer in enumerate(params["layers"]):
         for k in ("w_gate", "w_up", "w_down"):
@@ -209,11 +214,7 @@ def forward(params: dict, tokens: jax.Array, cfg: MoEConfig,
             kv_caches: Optional[list] = None,
             mesh: Optional[Mesh] = None):
     """tokens [batch, seq] -> (logits, kv_caches, aux_loss)."""
-    base_cfg = llama.LlamaConfig(
-        vocab_size=cfg.vocab_size, dim=cfg.dim, n_layers=cfg.n_layers,
-        n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
-        hidden_dim=cfg.hidden_dim, rope_theta=cfg.rope_theta,
-        norm_eps=cfg.norm_eps, dtype=cfg.dtype)
+    base_cfg = _base_cfg(cfg)
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))

@@ -384,7 +384,6 @@ def _make_fwd_kernel_dynamic(
     block_q: int,
     block_kv: int,
     num_halves: int,
-    num_kv_blocks: int,
     q_len: int,
     kv_len: int,
     scale: float,
@@ -802,28 +801,33 @@ def flash_attention_forward(
     # either way), but at N=16384 dynamic wins 3494us vs ~4100us
     # (52-55% vs ~44% util-equiv) because the skipped-step population
     # grows with N while the dynamic loop never visits those blocks.
-    use_dynamic = ((causal or window_size is not None)
-                   and not (has_mask or has_bias or has_mask2)
-                   and not is_nf4
-                   and kv_len >= 8192)
+    dynamic_eligible = ((causal or window_size is not None)
+                        and not (has_mask or has_bias or has_mask2)
+                        and not is_nf4)
+    # Resident mode: the K+V strip (plus Q/O/acc blocks) must fit the
+    # ~16 MiB of VMEM — budgeted at 2x because Mosaic may double-buffer
+    # the strip even on a constant index map (measured: an 8 MiB strip
+    # compiles at bq=1024 but OOMs at bq=2048 with a 30 MiB scoped
+    # allocation).  Beyond the budget the kernel DMAs per-block from
+    # HBM — but an HBM DMA slice needs a 128-aligned lane extent, so
+    # unpadded head dims < 128 can only run resident (else grid).
+    strip_bytes = 2 * c_pad * d_kv * jnp.dtype(kp.dtype).itemsize
+    resident = strip_bytes <= 4 * 1024 * 1024
+    if not resident and d_kv % MIN_LANES != 0:
+        dynamic_eligible = False
+    use_dynamic = dynamic_eligible and kv_len >= 8192
     if _FORCE_DYNAMIC is not None:   # test/benchmark override
-        use_dynamic = use_dynamic if _FORCE_DYNAMIC else False
+        # Bypasses only the length gate; eligibility (operands, NF4,
+        # lane alignment) still applies.
+        use_dynamic = dynamic_eligible and _FORCE_DYNAMIC
     if use_dynamic:
         precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                      else None)
         out_dtype = q.dtype
-        # Resident mode: the K+V strip (plus Q/O/acc blocks) must fit
-        # the ~16 MiB of VMEM — budgeted at 2x because Mosaic may
-        # double-buffer the strip even on a constant index map
-        # (measured: an 8 MiB strip compiles at bq=1024 but OOMs at
-        # bq=2048 with a 30 MiB scoped allocation).  Beyond the budget
-        # the kernel DMAs per-block from HBM.
-        strip_bytes = 2 * c_pad * d_kv * jnp.dtype(kp.dtype).itemsize
-        resident = strip_bytes <= 4 * 1024 * 1024
         kernel = _make_fwd_kernel_dynamic(
             block_q=block_q, block_kv=block_kv, num_halves=num_halves,
-            num_kv_blocks=num_kv_blocks, q_len=q_len, kv_len=kv_len,
+            q_len=q_len, kv_len=kv_len,
             scale=scale, causal=causal, window_size=window_size,
             has_segments=has_segments, out_dtype=out_dtype,
             precision=precision, kv_precision=kv_precision, group=group,
