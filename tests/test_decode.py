@@ -186,3 +186,32 @@ def test_decode_logit_softcap(rng):
     sc = cap * jnp.tanh(sc / cap)
     o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, axis=-1), vv)
     assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()
+
+
+def test_decode_nf4_direct_d64(rng):
+    """NF4 direct in-kernel unpack (payload lane-exact at D=64)."""
+    batch, q_heads, kv_heads, s, d = 2, 8, 2, 640, 64
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    kq = quantize(k, OperandPrecision.NF4)
+    vq = quantize(v, OperandPrecision.NF4)
+    kv_lens = jnp.asarray([500, 640], jnp.int32)
+    o = flash_decode(q, kq, vq, kv_lens=kv_lens, block_kv=256)
+    o_ref = golden_decode(q, dequantize(kq), dequantize(vq),
+                          kv_lens=kv_lens)
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
+
+
+def test_decode_nf4_fallback_padded_head_dim(rng):
+    """D=192 pads to 256 lanes -> split-half layout needs the prefill
+    kernel's Q shuffle; the prefill fallback handles it."""
+    batch, q_heads, kv_heads, s, d = 1, 2, 2, 128, 192
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kv_heads, s, d)), jnp.float32)
+    kq = quantize(k, OperandPrecision.NF4)
+    vq = quantize(v, OperandPrecision.NF4)
+    o = flash_decode(q, kq, vq)
+    o_ref = golden_decode(q, dequantize(kq), dequantize(vq))
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
