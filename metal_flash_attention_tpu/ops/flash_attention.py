@@ -199,7 +199,12 @@ def _make_fwd_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        def body():
+        def body(masked: bool = True):
+            # ``masked=False`` is the interior fast path: blocks fully
+            # inside the causal/window visible region skip the
+            # structural compares (the fwd pass is VPU-bound; the mask
+            # chain costs ~2-4 extra VPU ops on the [bq, half] tile).
+            # Loaded masks / segment ids still apply on either path.
             # Pre-scale Q once per [bq, d] block: moves the per-score
             # multiply off the [bq, bkv] tile (exp2-trick fold).
             q = q_ref[0, 0]
@@ -267,13 +272,15 @@ def _make_fwd_kernel(
             # as possible instead.  The (cols - rows) delta matrix is
             # a grid-invariant iota, so each mask condition is ONE
             # compare against a scalar threshold.
-            any_struct = (causal or window_size is not None or kv_pad
+            any_struct = ((masked and (causal or window_size is not None
+                                       or kv_pad))
                           or has_segments)
             # Rows with zero visible columns (when the causal diagonal
             # starts below row 0, or when a q token's segment has no
             # kv tokens) need the explicit p-zero select; otherwise
             # exp2(MASK - m) underflows to exactly 0 on its own.
-            needs_p_zero = (((causal or window_size is not None)
+            needs_p_zero = ((masked
+                             and (causal or window_size is not None)
                              and offset < 0) or has_segments)
             if any_struct:
                 delta = (jax.lax.broadcasted_iota(
@@ -295,6 +302,8 @@ def _make_fwd_kernel(
                     kvseg = kvseg_ref[0, 0:1,
                                       u * half:(u + 1) * half]  # [1, half]
                     em = qseg == kvseg
+                if not masked:
+                    return em
                 if causal:
                     thr = i * block_q + offset - j * block_kv - u * half
                     em_c = delta <= thr
@@ -358,7 +367,28 @@ def _make_fwd_kernel(
                 i, j, block_q=block_q, block_kv=block_kv, causal=causal,
                 window_size=window_size, offset=offset, kv_len=kv_len,
             )
-            pl.when(should_run)(body)
+            # Interior = every element of the block is visible under
+            # the structural masks, so the fast (compare-free) body
+            # applies; diagonal-crossing / padded blocks take the
+            # masked body.
+            interior = jnp.bool_(True)
+            if causal:
+                interior = jnp.logical_and(
+                    interior,
+                    (j + 1) * block_kv - 1 <= i * block_q + offset)
+            if window_size is not None:
+                interior = jnp.logical_and(
+                    interior,
+                    j * block_kv > ((i + 1) * block_q - 1 + offset
+                                    - window_size))
+            if kv_pad:
+                interior = jnp.logical_and(
+                    interior, (j + 1) * block_kv <= kv_len)
+            pl.when(jnp.logical_and(should_run, interior))(
+                lambda: body(False))
+            pl.when(jnp.logical_and(should_run,
+                                    jnp.logical_not(interior)))(
+                lambda: body(True))
         else:
             body()
 
