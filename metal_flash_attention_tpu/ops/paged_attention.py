@@ -126,15 +126,30 @@ def quantize_paged(cache: PagedKVCache,
 # Pages gathered per compute chunk: one [group, G*page_size] score tile
 # amortizes the fixed small-op latencies that dominate per-page
 # processing (single-page loops measured latency-bound at 20% of HBM
-# speed-of-light regardless of grid vs in-kernel looping).
-PAGES_PER_CHUNK = 8
+# speed-of-light regardless of grid vs in-kernel looping).  Hardware
+# sweep on v5e (8 seqs x 8192 tokens, 128-row pages): bf16 peaks at
+# G=16; quantized pools peak at G=32 (the storage->compute cast adds
+# per-chunk VPU latency that wider strips amortize, the same effect as
+# the wide default blocks in flash_decode).
+PAGES_PER_CHUNK = 16
+PAGES_PER_CHUNK_QUANTIZED = 32
+
+
+def _pages_per_chunk(kv_precision, max_pages: int) -> int:
+    base = (PAGES_PER_CHUNK_QUANTIZED if kv_precision is not None
+            else PAGES_PER_CHUNK)
+    # A chunk wider than the whole table only DMAs clamped duplicate
+    # pages; shrink to the covering power of two.
+    while base > 1 and base // 2 >= max_pages:
+        base //= 2
+    return base
 
 
 def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
-                       scale, out_dtype, precision=None,
-                       kv_precision=None):
+                       scale, out_dtype, pages_per_chunk,
+                       precision=None, kv_precision=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
-    kernel invocation: each chunk issues PAGES_PER_CHUNK parallel page
+    kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
     one online-softmax update over the whole strip.
 
@@ -147,7 +162,7 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
     row for free.
     """
     scale_log2e = scale * LOG2E
-    G = PAGES_PER_CHUNK
+    G = pages_per_chunk
     chunk = G * page_size
     fp8_magic = (2.0 ** _FP8_MAGIC_EXP[kv_precision]
                  if kv_precision in _FP8_MAGIC_EXP else 1.0)
@@ -306,9 +321,11 @@ def paged_decode(
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                      else None)
+    chunk_pages = _pages_per_chunk(kv_precision, max_pages)
     kernel = _make_paged_kernel(
         group=group, group_pad=group_pad, page_size=page_size,
         d_pad=d_pad, scale=scale, out_dtype=q.dtype,
+        pages_per_chunk=chunk_pages,
         precision=mxu_precision, kv_precision=kv_precision)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
@@ -335,9 +352,9 @@ def paged_decode(
                          lambda b, h, *p: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PAGES_PER_CHUNK * page_size, d_pad), kp.dtype),
-            pltpu.VMEM((2, PAGES_PER_CHUNK * page_size, d_pad), vp.dtype),
-            pltpu.SemaphoreType.DMA((2, PAGES_PER_CHUNK, 2)),
+            pltpu.VMEM((2, chunk_pages * page_size, d_pad), kp.dtype),
+            pltpu.VMEM((2, chunk_pages * page_size, d_pad), vp.dtype),
+            pltpu.SemaphoreType.DMA((2, chunk_pages, 2)),
         ],
     )
     o, lse = pl.pallas_call(
