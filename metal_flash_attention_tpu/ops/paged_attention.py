@@ -128,11 +128,11 @@ def quantize_paged(cache: PagedKVCache,
 # processing (single-page loops measured latency-bound at 20% of HBM
 # speed-of-light regardless of grid vs in-kernel looping).  Hardware
 # sweep on v5e (8 seqs x 8192 tokens, 128-row pages): bf16 peaks at
-# G=16; quantized pools peak at G=32 (the storage->compute cast adds
-# per-chunk VPU latency that wider strips amortize, the same effect as
-# the wide default blocks in flash_decode).
+# G=16; quantized pools keep gaining through G=64 (the storage->compute
+# cast adds per-chunk VPU latency that wider strips amortize, the same
+# effect as the wide default blocks in flash_decode).
 PAGES_PER_CHUNK = 16
-PAGES_PER_CHUNK_QUANTIZED = 32
+PAGES_PER_CHUNK_QUANTIZED = 64
 
 
 def _pages_per_chunk(kv_precision, max_pages: int) -> int:
@@ -178,6 +178,7 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             k_scales_ref = v_scales_ref = None
         b = pl.program_id(0)
         h = pl.program_id(1)
+        n_heads = pl.num_programs(1)
         kv_len = lens_ref[b]
         n_pages = pl.cdiv(kv_len, page_size)
         n_chunks = pl.cdiv(n_pages, G)
@@ -186,24 +187,35 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
         q = q_ref[0, 0]
         q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
 
-        def page_dmas(c, slot):
-            """The G page copies of chunk c (overshooting page indices
-            clamp onto the last live page; their columns are masked)."""
-            dmas = []
+        def page_dmas(c, slot, bb=None, hh=None):
+            """The G page copies of chunk c for program (bb, hh)
+            (overshooting page indices clamp onto the sequence's last
+            live page; their columns are masked)."""
+            bb = b if bb is None else bb
+            hh = h if hh is None else hh
+            lp = jnp.maximum(pl.cdiv(lens_ref[bb], page_size) - 1, 0)
+            k_dmas, v_dmas = [], []
             for g in range(G):
-                j = jnp.minimum(c * G + g, last_page)
-                page = table_ref[b, j]
-                dmas.append(pltpu.make_async_copy(
-                    k_hbm.at[page, h],
+                j = jnp.minimum(c * G + g, lp)
+                page = table_ref[bb, j]
+                k_dmas.append(pltpu.make_async_copy(
+                    k_hbm.at[page, hh],
                     k_scr.at[slot, pl.ds(g * page_size, page_size)],
                     sems.at[slot, g, 0]))
-                dmas.append(pltpu.make_async_copy(
-                    v_hbm.at[page, h],
+                v_dmas.append(pltpu.make_async_copy(
+                    v_hbm.at[page, hh],
                     v_scr.at[slot, pl.ds(g * page_size, page_size)],
                     sems.at[slot, g, 1]))
-            return dmas
+            # K first: the score matmul needs only K, so V transfers
+            # hide under it (waited separately in the body).
+            return k_dmas + v_dmas
 
-        @pl.when(n_chunks > 0)
+        # Grid programs run sequentially on the core and scratch
+        # persists across them, so each program's first-chunk gather is
+        # issued by its *predecessor* (below) — the cross-program analog
+        # of BlockSpec pipelining; only the very first program pays a
+        # cold start.
+        @pl.when((b == 0) & (h == 0) & (n_chunks > 0))
         def _():
             for dma in page_dmas(0, 0):
                 dma.start()
@@ -236,10 +248,10 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
                 for dma in page_dmas(c + 1, jax.lax.rem(c + 1, 2)):
                     dma.start()
 
-            for dma in page_dmas(c, slot):
+            dmas = page_dmas(c, slot)
+            for dma in dmas[:G]:        # K pages
                 dma.wait()
             k = expand(k_scr[slot])
-            v = expand(v_scr[slot])
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -255,6 +267,9 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             if kv_precision is not None:
                 p = p * scale_row(v_scales_ref, c)
+            for dma in dmas[G:]:        # V pages arrive under the above
+                dma.wait()
+            v = expand(v_scr[slot])
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -265,6 +280,19 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
         l0 = jnp.zeros((group_pad, 1), jnp.float32)
         acc0 = jnp.zeros((group_pad, d_pad), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+        # Issue the successor program's chunk 0 before exiting (slot 0
+        # is idle: every in-flight DMA of this program has been waited).
+        flat = b * n_heads + h
+        is_last = flat == pl.num_programs(0) * n_heads - 1
+        b2 = jnp.where(is_last, b, (flat + 1) // n_heads)
+        h2 = jnp.where(is_last, h, (flat + 1) % n_heads)
+        succ_live = pl.cdiv(lens_ref[b2], page_size) > 0
+
+        @pl.when(jnp.logical_not(is_last) & succ_live)
+        def _():
+            for dma in page_dmas(0, 0, bb=b2, hh=h2):
+                dma.start()
 
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc / safe_l).astype(out_dtype)
@@ -368,7 +396,9 @@ def paged_decode(
                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # Scratch carries the successor's prefetched chunk across
+            # programs: execution order must stay sequential.
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*scalar_args, qg, kp, vp)
