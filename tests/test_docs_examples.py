@@ -1,0 +1,162 @@
+"""The code snippets in README.md / docs/ execute as written.
+
+Docs rot when examples drift from the API; every public snippet shape
+used in the docs runs here (tiny sizes, hermetic CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import metal_flash_attention_tpu as mfa
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+
+
+def test_readme_quickstart_shapes():
+    q = jnp.zeros((2, 8, 256, 64), jnp.bfloat16)
+    k = jnp.zeros((2, 2, 256, 64), jnp.bfloat16)
+    v = jnp.zeros((2, 2, 256, 64), jnp.bfloat16)
+    o = mfa.flash_attention(q, k, v, causal=True)
+    assert o.shape == q.shape
+
+    m = jnp.ones((2, 8, 256, 256), bool)
+    b = jnp.zeros((2, 8, 256, 256), jnp.float32)
+    o = mfa.flash_attention(q, k, v, mask=m, bias=b, window_size=128)
+    ids = jnp.zeros((2, 256), jnp.int32)
+    o = mfa.flash_attention(q, k, v, q_segment_ids=ids,
+                            kv_segment_ids=ids, causal=True)
+    assert o.shape == q.shape
+
+
+def test_migration_guide_dispatch_facade():
+    from metal_flash_attention_tpu.dispatch import build_attention
+
+    fn = build_attention(mfa.AttentionDescriptor(
+        batch=2, q_heads=8, kv_heads=2, q_len=256, kv_len=256,
+        head_dim=64, causal=True))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 8, 256, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((2, 2, 256, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((2, 2, 256, 64)), jnp.bfloat16)
+    o = fn(q, k, v)
+    assert o.shape == q.shape and not bool(jnp.any(jnp.isnan(o)))
+
+
+def test_migration_guide_quantized_kv():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 4, 128, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.bfloat16)
+    kq = mfa.quantize(k, OperandPrecision.FP8_E4M3)
+    vq = mfa.quantize(v, OperandPrecision.FP8_E4M3)
+    o = mfa.flash_attention(q, kq, vq)
+    assert o.shape == q.shape and not bool(jnp.any(jnp.isnan(o)))
+
+
+def test_serving_guide_dense_decode():
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s = 2, 8, 2, 64, 256
+    qt = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.bfloat16)
+    lens = jnp.asarray([s, 100], jnp.int32)
+    o = mfa.flash_decode(qt, k, v, kv_lens=lens)
+    assert o.shape == qt.shape
+    kq = mfa.quantize(k, OperandPrecision.INT8)
+    vq = mfa.quantize(v, OperandPrecision.INT8)
+    o = mfa.flash_decode(qt, kq, vq, kv_lens=lens)
+    assert not bool(jnp.any(jnp.isnan(o)))
+
+
+def test_serving_guide_paged_pool():
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        init_paged_cache,
+        paged_append,
+        paged_decode,
+        quantize_paged,
+    )
+
+    rng = np.random.default_rng(0)
+    cache = init_paged_cache(num_pages=16, kv_heads=2, page_size=128,
+                             head_dim=64, batch=2, max_pages=4)
+    # assign pages + fill two pages per sequence
+    table = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kp = jnp.asarray(rng.standard_normal(cache.k_pages.shape),
+                     jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal(cache.v_pages.shape),
+                     jnp.bfloat16)
+    cache = cache._replace(k_pages=kp, v_pages=vp, page_table=table,
+                           lengths=jnp.asarray([256, 129], jnp.int32))
+    q = jnp.asarray(rng.standard_normal((2, 8, 64)), jnp.bfloat16)
+    o = paged_decode(q, cache)
+    assert o.shape == q.shape and not bool(jnp.any(jnp.isnan(o)))
+    o = paged_decode(q, quantize_paged(cache, OperandPrecision.INT8))
+    assert not bool(jnp.any(jnp.isnan(o)))
+    grown = paged_append(cache, q[:, :2, :], q[:, :2, :])
+    assert int(grown.lengths[0]) == 257
+
+
+def test_parallelism_guide_mesh_and_ring():
+    from metal_flash_attention_tpu.parallel import (
+        make_mesh,
+        ring_attention,
+        sharded_flash_attention,
+    )
+
+    mesh = make_mesh(data=1, heads=2, context=4)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 2, 512, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 512, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 512, 64)), jnp.bfloat16)
+    o = ring_attention(mesh, causal=True)(q, k, v)
+    assert o.shape == q.shape
+    mesh2 = make_mesh(data=2, heads=4)
+    q2 = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    k2 = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    v2 = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.bfloat16)
+    o2 = sharded_flash_attention(mesh2, causal=True)(q2, k2, v2)
+    assert o2.shape == q2.shape
+
+
+def test_parallelism_guide_pipeline():
+    from metal_flash_attention_tpu.parallel.pipeline import (
+        make_pipeline_mesh,
+        pipeline,
+        stack_stage_params,
+    )
+
+    mesh = make_pipeline_mesh(n_stages=4)
+    rng = jax.random.PRNGKey(0)
+    stages = [{"w": jax.random.normal(jax.random.fold_in(rng, i),
+                                      (16, 16)) * 0.1}
+              for i in range(4)]
+    params = stack_stage_params(stages)
+    xs = jax.random.normal(rng, (8, 2, 16))          # [n_micro, mb, d]
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"])
+
+    out = pipeline(stage_fn, params, xs, mesh=mesh)
+    assert out.shape == xs.shape
+
+
+def test_performance_guide_profiling_api():
+    from metal_flash_attention_tpu.utils.profiling import (
+        RooflineReport,
+        attention_roofline,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.bfloat16)
+
+    def one(q, k, v):
+        return (mfa.flash_attention(q, k, v)[0, 0, :1, :1]
+                .astype(jnp.float32).sum())
+
+    rep = attention_roofline(one, (q, k, v), n=128, d=64, heads=2,
+                             iters=2)
+    assert isinstance(rep, RooflineReport)
+    assert rep.ginstrs_per_s > 0 and "GINSTRS" in str(rep)
