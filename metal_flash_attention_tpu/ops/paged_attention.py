@@ -44,7 +44,9 @@ from metal_flash_attention_tpu.ops.flash_decode import GROUP_PAD
 from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.ops.quantization import (
     _FP8_MAGIC_EXP,
+    NF4_CODEBOOK,
     fp8_expand_bits,
+    nf4_codebook_lookup,
 )
 from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 
@@ -71,16 +73,17 @@ class QuantizedPagedKVCache(NamedTuple):
     pool pages are freely shareable across sequences).
     """
     k_pages: jax.Array      # [num_pages, kv_heads, page_size, d] int8/fp8
-    v_pages: jax.Array
-    k_scales: jax.Array     # [num_pages, kv_heads] float32
-    v_scales: jax.Array
+    v_pages: jax.Array      # (NF4: [num_pages, kv_heads, page_size/2, d]
+    k_scales: jax.Array     #  uint8 — two tokens nibble-packed per row,
+    v_scales: jax.Array     #  keeping all d lanes exact for the DMA)
     page_table: jax.Array   # [batch, max_pages] int32
     lengths: jax.Array      # [batch] int32
     precision: OperandPrecision
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        rows = self.k_pages.shape[2]
+        return rows * 2 if self.precision is OperandPrecision.NF4 else rows
 
 
 jax.tree_util.register_pytree_node(
@@ -115,6 +118,20 @@ def quantize_paged(cache: PagedKVCache,
             q = (pages.astype(jnp.float32)
                  / scale[:, :, None, None]).astype(precision.storage_dtype)
             return q, scale
+        if precision is OperandPrecision.NF4:
+            # Row-split nibble packing: byte (r, c) holds tokens r
+            # (low nibble) and r + page_size/2 (high nibble) of column
+            # c.  Unlike the dense cache's head-dim split (which would
+            # leave d/2 lanes), this keeps every lane of the page DMA.
+            ps = pages.shape[2]
+            assert ps % 2 == 0, "NF4 pages need an even page_size"
+            scale = jnp.maximum(absmax, 1e-12)
+            normed = pages.astype(jnp.float32) / scale[:, :, None, None]
+            codebook = jnp.asarray(NF4_CODEBOOK, jnp.float32)
+            midpoints = (codebook[1:] + codebook[:-1]) / 2.0
+            idx = jnp.searchsorted(midpoints, normed).astype(jnp.uint8)
+            lo, hi = idx[:, :, :ps // 2], idx[:, :, ps // 2:]
+            return (lo | (hi << 4)).astype(jnp.uint8), scale
         raise ValueError(f"unsupported paged KV precision: {precision}")
 
     kq, ks = quant(cache.k_pages)
@@ -136,8 +153,16 @@ PAGES_PER_CHUNK_QUANTIZED = 64
 
 
 def _pages_per_chunk(kv_precision, max_pages: int) -> int:
-    base = (PAGES_PER_CHUNK_QUANTIZED if kv_precision is not None
-            else PAGES_PER_CHUNK)
+    if kv_precision is OperandPrecision.NF4:
+        # VPU-bound (codebook lookup): narrow strips overlap the
+        # lookup with the next chunk's DMA best (v5e sweep: 3500 tok/s
+        # at G=4 vs 2440 at G=16), and the unrolled per-page code
+        # (x2 nibble planes) inflates compile time at wide G.
+        base = 4
+    elif kv_precision is not None:
+        base = PAGES_PER_CHUNK_QUANTIZED
+    else:
+        base = PAGES_PER_CHUNK
     # A chunk wider than the whole table only DMAs clamped duplicate
     # pages; shrink to the covering power of two.
     while base > 1 and base // 2 >= max_pages:
@@ -145,8 +170,8 @@ def _pages_per_chunk(kv_precision, max_pages: int) -> int:
     return base
 
 
-def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
-                       scale, out_dtype, pages_per_chunk,
+def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
+                       d_pad, scale, out_dtype, pages_per_chunk,
                        precision=None, kv_precision=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
@@ -200,11 +225,11 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
                 page = table_ref[bb, j]
                 k_dmas.append(pltpu.make_async_copy(
                     k_hbm.at[page, hh],
-                    k_scr.at[slot, pl.ds(g * page_size, page_size)],
+                    k_scr.at[slot, pl.ds(g * page_rows, page_rows)],
                     sems.at[slot, g, 0]))
                 v_dmas.append(pltpu.make_async_copy(
                     v_hbm.at[page, hh],
-                    v_scr.at[slot, pl.ds(g * page_size, page_size)],
+                    v_scr.at[slot, pl.ds(g * page_rows, page_rows)],
                     sems.at[slot, g, 1]))
             # K first: the score matmul needs only K, so V transfers
             # hide under it (waited separately in the body).
@@ -228,16 +253,51 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
                 return x.astype(jnp.float32).astype(q.dtype)
             return x
 
-        def scale_row(scales_ref, c):
-            """[1, chunk] per-column dequant scale of chunk c (page g's
-            scale replicated over its page_size columns)."""
+        is_nf4 = kv_precision is OperandPrecision.NF4
+
+        def scale_row(scales_ref, c, width=page_size, tile=1):
+            """Per-column dequant scale of chunk c (page g's scale
+            replicated over ``width`` columns, the whole row repeated
+            ``tile`` times for NF4's two nibble planes)."""
             parts = []
             for g in range(G):
                 j = jnp.minimum(c * G + g, last_page)
                 page = table_ref[b, j]
                 val = scales_ref[page, h] * fp8_magic
-                parts.append(jnp.broadcast_to(val, (1, page_size)))
-            return jnp.concatenate(parts, axis=1).astype(jnp.float32)
+                parts.append(jnp.broadcast_to(val, (1, width)))
+            return jnp.concatenate(parts * tile, axis=1).astype(
+                jnp.float32)
+
+        def nf4_pair(x):
+            """Byte strip [G*rows, d] -> (lo, hi) value planes, bf16.
+            Token order is NOT restored — the two nibble planes are
+            separate column groups (online softmax is column-order
+            invariant; ``nf4_cols`` carries the permutation), which
+            avoids a 1M-element i32 relayout per chunk.  Widen to i32
+            first: Mosaic only legalizes shifts on 32-bit lanes."""
+            u = pltpu.bitcast(x, jnp.int8).astype(jnp.int32) & 0xFF
+            return (nf4_codebook_lookup(u & 0xF).astype(q.dtype),
+                    nf4_codebook_lookup(u >> 4).astype(q.dtype))
+
+        def nf4_cols(c):
+            """Token index per score column: column (t, g, r) of the
+            plane-concatenated layout holds page g's token
+            t*ps/2 + r."""
+            j = jax.lax.broadcasted_iota(
+                jnp.int32, (group_pad, G * page_rows), 1)
+            base = (j // page_rows) * page_size + (j % page_rows)
+            return jnp.concatenate(
+                [base, base + page_size // 2], axis=1) + c * chunk
+
+        def qk(kvals):
+            return jax.lax.dot_general(
+                q, kvals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        def pv_dot(p, vvals):
+            return jax.lax.dot_general(
+                p.astype(vvals.dtype), vvals, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
         def body(c, carry):
             m_prev, l_prev, acc = carry
@@ -251,29 +311,36 @@ def _make_paged_kernel(*, group, group_pad, page_size, d_pad,
             dmas = page_dmas(c, slot)
             for dma in dmas[:G]:        # K pages
                 dma.wait()
-            k = expand(k_scr[slot])
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # [group_pad, chunk]
-            if kv_precision is not None:
-                s = s * scale_row(k_scales_ref, c)
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (group_pad, chunk), 1) + c * chunk
+            if is_nf4:
+                k_lo, k_hi = nf4_pair(k_scr[slot])
+                s = jnp.concatenate([qk(k_lo), qk(k_hi)], axis=1)
+                s = s * scale_row(k_scales_ref, c, width=page_rows,
+                                  tile=2)
+                cols = nf4_cols(c)
+            else:
+                s = qk(expand(k_scr[slot]))     # [group_pad, chunk]
+                if kv_precision is not None:
+                    s = s * scale_row(k_scales_ref, c)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (group_pad, chunk), 1) + c * chunk
             s = jnp.where(cols < kv_len, s, MASK_VALUE)
             m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next[:, :1])
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            if kv_precision is not None:
+            if is_nf4:
+                p = p * scale_row(v_scales_ref, c, width=page_rows,
+                                  tile=2)
+            elif kv_precision is not None:
                 p = p * scale_row(v_scales_ref, c)
             for dma in dmas[G:]:        # V pages arrive under the above
                 dma.wait()
-            v = expand(v_scr[slot])
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            if is_nf4:
+                v_lo, v_hi = nf4_pair(v_scr[slot])
+                w = G * page_rows
+                pv = pv_dot(p[:, :w], v_lo) + pv_dot(p[:, w:], v_hi)
+            else:
+                pv = pv_dot(p, expand(v_scr[slot]))
             return m_next, l_next, acc * alpha[:, :1] + pv
 
         m0 = jnp.full((group_pad, 1), -jnp.inf, jnp.float32)
@@ -319,10 +386,11 @@ def paged_decode(
     q: [batch, q_heads, head_dim]; returns o [batch, q_heads, head_dim]
     (+ lse for cross-segment merging).  ``cache`` may be a
     :class:`PagedKVCache` or a :class:`QuantizedPagedKVCache`
-    (INT8/FP8 pages, dequantized in-kernel).
+    (INT8/FP8/NF4 pages, dequantized in-kernel).
     """
     batch, q_heads, head_dim = q.shape
-    num_pages, kv_heads, page_size, _ = cache.k_pages.shape
+    num_pages, kv_heads, page_rows, _ = cache.k_pages.shape
+    page_size = cache.page_size    # tokens/page (2x rows for NF4)
     max_pages = cache.page_table.shape[1]
     assert q_heads % kv_heads == 0
     group = q_heads // kv_heads
@@ -332,6 +400,7 @@ def paged_decode(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     assert page_size % MIN_LANES == 0 or page_size % 8 == 0, page_size
+    assert page_rows % 8 == 0, page_rows
     kv_precision = getattr(cache, "precision", None)
 
     if head_dim < MIN_LANES and head_dim % 8 == 0:
@@ -342,9 +411,9 @@ def paged_decode(
     qg = q.reshape(batch, kv_heads, group, head_dim)
     qg = pad_to(qg, (batch, kv_heads, group_pad, d_pad))
     kp = pad_to(cache.k_pages,
-                (num_pages, kv_heads, page_size, d_pad))
+                (num_pages, kv_heads, page_rows, d_pad))
     vp = pad_to(cache.v_pages,
-                (num_pages, kv_heads, page_size, d_pad))
+                (num_pages, kv_heads, page_rows, d_pad))
 
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
@@ -352,8 +421,8 @@ def paged_decode(
     chunk_pages = _pages_per_chunk(kv_precision, max_pages)
     kernel = _make_paged_kernel(
         group=group, group_pad=group_pad, page_size=page_size,
-        d_pad=d_pad, scale=scale, out_dtype=q.dtype,
-        pages_per_chunk=chunk_pages,
+        page_rows=page_rows, d_pad=d_pad, scale=scale,
+        out_dtype=q.dtype, pages_per_chunk=chunk_pages,
         precision=mxu_precision, kv_precision=kv_precision)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
@@ -380,8 +449,8 @@ def paged_decode(
                          lambda b, h, *p: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_pages * page_size, d_pad), kp.dtype),
-            pltpu.VMEM((2, chunk_pages * page_size, d_pad), vp.dtype),
+            pltpu.VMEM((2, chunk_pages * page_rows, d_pad), kp.dtype),
+            pltpu.VMEM((2, chunk_pages * page_rows, d_pad), vp.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_pages, 2)),
         ],
     )
