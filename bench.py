@@ -260,7 +260,8 @@ def main():
           "page=128):", file=err)
     for name, prec in (("bf16", None),
                        ("int8", OperandPrecision.INT8),
-                       ("fp8_e4m3", OperandPrecision.FP8_E4M3)):
+                       ("fp8_e4m3", OperandPrecision.FP8_E4M3),
+                       ("nf4", OperandPrecision.NF4)):
         try:
             toks = bench_paged(floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)

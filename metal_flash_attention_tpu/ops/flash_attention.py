@@ -45,6 +45,22 @@ Pallas program tiled for the 128x128 MXU:
 - GQA: q_heads may be a multiple of kv_heads; the K/V index map folds
   the group quotient (reference fork: batched multi-head dispatch,
   `AttentionKernel+Source.swift:35-48`).
+
+Causal mid-N plateau (negative results, measured v5e 2026-08): causal
+D=128 sits at ~49% @ N=4096 / ~62% @ 8192 / ~68% @ 16384 of the
+*halved* work model, tracking the ceiling 79% / (1 + bkv/N) set by
+guard overhead + diagonal-block waste.  Three redesigns all tied with
+this kernel within noise and were removed: (a) a folded-pair kernel
+(strips i and nq-1-i share a program, traversal enumerates only live
+blocks — eliminates skipped steps entirely; both a 4-branch and a
+single-predicated-body + stacked-scratch variant), (b) per-half skip
+of fully-invisible halves inside the diagonal (masked) body, (c) the
+dynamic-traversal kernel at mid N (it wins only at N >= 16K).  Block
+sweeps confirm (1024, 2048) is optimal; smaller blocks lose far more
+to per-step fixed costs (bq=128/bkv=512 runs at 18%).  Conclusion:
+the remaining gap is per-step guard/overlap cost that every design
+pays one way or another; don't re-explore without a Mosaic-level
+change (e.g. predicated DMA-free guard elision).
 """
 
 from __future__ import annotations
