@@ -172,7 +172,8 @@ def _pages_per_chunk(kv_precision, max_pages: int) -> int:
 
 def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                        d_pad, scale, out_dtype, pages_per_chunk,
-                       precision=None, kv_precision=None):
+                       precision=None, kv_precision=None,
+                       has_starts=False):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
@@ -193,14 +194,17 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                  if kv_precision in _FP8_MAGIC_EXP else 1.0)
 
     def kernel(*refs):
+        it = iter(refs)
+        table_ref = next(it)
+        lens_ref = next(it)
+        starts_ref = next(it) if has_starts else None
         if kv_precision is not None:
-            (table_ref, lens_ref, k_scales_ref, v_scales_ref,
-             q_ref, k_hbm, v_hbm, o_ref, l_ref,
-             k_scr, v_scr, sems) = refs
+            k_scales_ref = next(it)
+            v_scales_ref = next(it)
         else:
-            (table_ref, lens_ref, q_ref, k_hbm, v_hbm, o_ref, l_ref,
-             k_scr, v_scr, sems) = refs
             k_scales_ref = v_scales_ref = None
+        (q_ref, k_hbm, v_hbm, o_ref, l_ref,
+         k_scr, v_scr, sems) = it
         b = pl.program_id(0)
         h = pl.program_id(1)
         n_heads = pl.num_programs(1)
@@ -208,6 +212,17 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         n_pages = pl.cdiv(kv_len, page_size)
         n_chunks = pl.cdiv(n_pages, G)
         last_page = jnp.maximum(n_pages - 1, 0)
+
+        def first_chunk(bb):
+            """First chunk with any attended column (sliding-window
+            decode: columns before kv_starts[bb] are dead and their
+            chunks are never fetched)."""
+            if not has_starts:
+                return jnp.int32(0)
+            return jnp.maximum(starts_ref[bb], 0) // chunk
+
+        c0 = first_chunk(b)
+        kv_start = starts_ref[b] if has_starts else None
 
         q = q_ref[0, 0]
         q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
@@ -240,9 +255,9 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         # issued by its *predecessor* (below) — the cross-program analog
         # of BlockSpec pipelining; only the very first program pays a
         # cold start.
-        @pl.when((b == 0) & (h == 0) & (n_chunks > 0))
+        @pl.when((b == 0) & (h == 0) & (c0 < n_chunks))
         def _():
-            for dma in page_dmas(0, 0):
+            for dma in page_dmas(c0, 0):
                 dma.start()
 
         def expand(x):
@@ -301,11 +316,13 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
 
         def body(c, carry):
             m_prev, l_prev, acc = carry
-            slot = jax.lax.rem(c, 2)
+            # Slot parity counts from the first *live* chunk (c0 lands
+            # in slot 0, matching the predecessor-issued gather).
+            slot = jax.lax.rem(c - c0, 2)
 
             @pl.when(c + 1 < n_chunks)
             def _():
-                for dma in page_dmas(c + 1, jax.lax.rem(c + 1, 2)):
+                for dma in page_dmas(c + 1, jax.lax.rem(c + 1 - c0, 2)):
                     dma.start()
 
             dmas = page_dmas(c, slot)
@@ -323,7 +340,10 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                     s = s * scale_row(k_scales_ref, c)
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, (group_pad, chunk), 1) + c * chunk
-            s = jnp.where(cols < kv_len, s, MASK_VALUE)
+            live = cols < kv_len
+            if has_starts:
+                live = jnp.logical_and(live, cols >= kv_start)
+            s = jnp.where(live, s, MASK_VALUE)
             m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next[:, :1])
@@ -346,19 +366,20 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         m0 = jnp.full((group_pad, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((group_pad, 1), jnp.float32)
         acc0 = jnp.zeros((group_pad, d_pad), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
 
-        # Issue the successor program's chunk 0 before exiting (slot 0
-        # is idle: every in-flight DMA of this program has been waited).
+        # Issue the successor program's first chunk before exiting
+        # (slot 0 is idle: every in-flight DMA has been waited).
         flat = b * n_heads + h
         is_last = flat == pl.num_programs(0) * n_heads - 1
         b2 = jnp.where(is_last, b, (flat + 1) // n_heads)
         h2 = jnp.where(is_last, h, (flat + 1) % n_heads)
-        succ_live = pl.cdiv(lens_ref[b2], page_size) > 0
+        c0_2 = first_chunk(b2)
+        succ_live = c0_2 < pl.cdiv(pl.cdiv(lens_ref[b2], page_size), G)
 
         @pl.when(jnp.logical_not(is_last) & succ_live)
         def _():
-            for dma in page_dmas(0, 0, bb=b2, hh=h2):
+            for dma in page_dmas(c0_2, 0, bb=b2, hh=h2):
                 dma.start()
 
         safe_l = jnp.where(l == 0.0, 1.0, l)
@@ -377,6 +398,7 @@ def paged_decode(
     q: jax.Array,
     cache: PagedKVCache,
     *,
+    kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
@@ -384,8 +406,11 @@ def paged_decode(
     """Decode one token per sequence against a paged KV pool.
 
     q: [batch, q_heads, head_dim]; returns o [batch, q_heads, head_dim]
-    (+ lse for cross-segment merging).  ``cache`` may be a
-    :class:`PagedKVCache` or a :class:`QuantizedPagedKVCache`
+    (+ lse for cross-segment merging).  ``kv_starts`` (int32 [batch])
+    is the first attended position per sequence — sliding-window
+    decode over a paged pool (pass ``max(0, lengths - window)``);
+    chunks fully before the window are never fetched.  ``cache`` may
+    be a :class:`PagedKVCache` or a :class:`QuantizedPagedKVCache`
     (INT8/FP8/NF4 pages, dequantized in-kernel).
     """
     batch, q_heads, head_dim = q.shape
@@ -423,10 +448,13 @@ def paged_decode(
         group=group, group_pad=group_pad, page_size=page_size,
         page_rows=page_rows, d_pad=d_pad, scale=scale,
         out_dtype=q.dtype, pages_per_chunk=chunk_pages,
-        precision=mxu_precision, kv_precision=kv_precision)
+        precision=mxu_precision, kv_precision=kv_precision,
+        has_starts=kv_starts is not None)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
                    cache.lengths.astype(jnp.int32)]
+    if kv_starts is not None:
+        scalar_args.append(kv_starts.astype(jnp.int32))
     if kv_precision is not None:
         scalar_args += [cache.k_scales.astype(jnp.float32),
                         cache.v_scales.astype(jnp.float32)]

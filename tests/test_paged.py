@@ -216,3 +216,66 @@ def test_paged_quantized_roundtrip_tighter_than_tier(rng):
     o = paged_decode(q, qcache)
     o_ref = golden_decode(q, kd, vd, kv_lens=cache.lengths)
     assert float(jnp.max(jnp.abs(o - o_ref))) < 2e-2
+
+
+def test_paged_decode_sliding_window(rng):
+    """kv_starts: paged sliding-window decode (Gemma local layers over
+    a paged pool) vs a golden with the pre-window prefix masked."""
+    batch, kv_heads, d, page_size, max_pages = 3, 2, 64, 128, 4
+    lengths = [512, 300, 64]
+    window = 160
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    starts = jnp.maximum(cache.lengths - window, 0)
+    q = jnp.asarray(rng.standard_normal((batch, 4, d)), jnp.float32)
+    o = paged_decode(q, cache, kv_starts=starts)
+
+    s = kd.shape[2]
+    pos = jnp.arange(s)[None, None, :]
+    live = jnp.logical_and(pos >= starts[:, None, None],
+                           pos < cache.lengths[:, None, None])
+    km = jnp.where(live[..., None], kd, 0.0)
+    # golden with pre-window masked: recompute logits mask directly
+    group = q.shape[1] // kv_heads
+    kf = jnp.repeat(kd.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(vd.astype(jnp.float32), group, axis=1)
+    logits = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kf)
+    logits /= jnp.sqrt(jnp.float32(d))
+    logits = jnp.where(live, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", p, vf)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()
+
+
+def test_paged_decode_sliding_window_quantized(rng):
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        quantize_paged,
+    )
+
+    batch, kv_heads, d, page_size, max_pages = 2, 2, 128, 128, 4
+    lengths = [512, 450]
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    starts = jnp.asarray([384, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((batch, 4, d)), jnp.float32)
+    o = paged_decode(q, quantize_paged(cache, OperandPrecision.INT8),
+                     kv_starts=starts)
+
+    s = kd.shape[2]
+    pos = jnp.arange(s)[None, None, :]
+    live = jnp.logical_and(pos >= starts[:, None, None],
+                           pos < cache.lengths[:, None, None])
+    group = q.shape[1] // kv_heads
+    kf = jnp.repeat(kd.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(vd.astype(jnp.float32), group, axis=1)
+    logits = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kf)
+    logits /= jnp.sqrt(jnp.float32(d))
+    logits = jnp.where(live, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", p, vf)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-2
