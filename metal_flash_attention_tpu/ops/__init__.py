@@ -19,6 +19,7 @@ from metal_flash_attention_tpu.ops.paged_attention import (
     init_paged_cache,
     paged_append,
     paged_decode,
+    paged_prefill,
     quantize_paged,
 )
 from metal_flash_attention_tpu.ops.quantization import (
@@ -39,6 +40,7 @@ __all__ = [
     "flash_decode",
     "decode_step",
     "paged_decode",
+    "paged_prefill",
     "paged_append",
     "init_paged_cache",
     "PagedKVCache",

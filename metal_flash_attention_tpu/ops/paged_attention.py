@@ -173,7 +173,7 @@ def _pages_per_chunk(kv_precision, max_pages: int) -> int:
 def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                        d_pad, scale, out_dtype, pages_per_chunk,
                        precision=None, kv_precision=None,
-                       has_starts=False):
+                       has_starts=False, q_chunk=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
@@ -186,6 +186,13 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
     strip is ever materialized, and the FP8 2^(127-bias) magic exponent
     (see ops/quantization.fp8_expand_bits) folds into the same scale
     row for free.
+
+    ``q_chunk``: multi-token mode (chunked prefill / speculative
+    verification) — the query block holds ``group * q_chunk`` rows,
+    row g*q_chunk + t being the group-g query at absolute position
+    kv_len - q_chunk + t, causally masked.  All column machinery
+    (per-page scales, NF4 planes, window start) is row-agnostic, so
+    the two modes share every other code path.
     """
     scale_log2e = scale * LOG2E
     G = pages_per_chunk
@@ -343,6 +350,13 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
             live = cols < kv_len
             if has_starts:
                 live = jnp.logical_and(live, cols >= kv_start)
+            if q_chunk is not None:
+                # Row g*q_chunk + t is the query at absolute position
+                # kv_len - q_chunk + t: causal within the new chunk.
+                t_row = jax.lax.broadcasted_iota(
+                    jnp.int32, cols.shape, 0) % q_chunk
+                live = jnp.logical_and(
+                    live, cols <= kv_len - q_chunk + t_row)
             s = jnp.where(live, s, MASK_VALUE)
             m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
@@ -414,12 +428,66 @@ def paged_decode(
     (INT8/FP8/NF4 pages, dequantized in-kernel).
     """
     batch, q_heads, head_dim = q.shape
+    o, lse, group = _paged_attention(
+        q[:, :, None, :], cache, kv_starts=kv_starts, scale=scale,
+        interpret=interpret, q_chunk=None)
+    o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
+    if return_residuals:
+        lse = lse[:, :, 0, :group].reshape(batch, q_heads)
+        return o, lse
+    return o
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "return_residuals"))
+def paged_prefill(
+    q: jax.Array,
+    cache: PagedKVCache,
+    *,
+    kv_starts: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    return_residuals: bool = False,
+):
+    """Multi-token attention against a paged pool: chunked prefill /
+    speculative-decoding verification.
+
+    q: [batch, q_heads, q_chunk, head_dim] — the last ``q_chunk``
+    tokens of each sequence, whose K/V must already be appended to the
+    pool (query t sits at absolute position lengths - q_chunk + t and
+    attends causally).  Returns o with q's shape (+ lse
+    [batch, q_heads, q_chunk]).  Quantized pools and ``kv_starts``
+    sliding windows compose exactly as in :func:`paged_decode`.
+    """
+    batch, q_heads, q_chunk, head_dim = q.shape
+    o, lse, group = _paged_attention(
+        q, cache, kv_starts=kv_starts, scale=scale,
+        interpret=interpret, q_chunk=q_chunk)
+    rows = group * q_chunk
+    kv_heads = q_heads // group
+    o = o[:, :, :rows, :head_dim].reshape(
+        batch, kv_heads, group, q_chunk, head_dim)
+    o = o.reshape(batch, q_heads, q_chunk, head_dim)
+    if return_residuals:
+        lse = lse[:, :, 0, :rows].reshape(
+            batch, kv_heads, group, q_chunk).reshape(
+            batch, q_heads, q_chunk)
+        return o, lse
+    return o
+
+
+def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
+    """Shared driver: q [batch, q_heads, q_tokens, head_dim] packed as
+    [batch, kv_heads, group * q_tokens, d] rows; returns padded
+    (o, lse, group)."""
+    batch, q_heads, q_tokens, head_dim = q.shape
     num_pages, kv_heads, page_rows, _ = cache.k_pages.shape
     page_size = cache.page_size    # tokens/page (2x rows for NF4)
     max_pages = cache.page_table.shape[1]
     assert q_heads % kv_heads == 0
     group = q_heads // kv_heads
-    group_pad = round_up(group, GROUP_PAD)
+    rows = group * q_tokens
+    rows_pad = round_up(rows, GROUP_PAD)
     if scale is None:
         scale = 1.0 / math.sqrt(head_dim)
     if interpret is None:
@@ -433,8 +501,11 @@ def paged_decode(
     else:
         d_pad = round_up(head_dim, MIN_LANES)
 
-    qg = q.reshape(batch, kv_heads, group, head_dim)
-    qg = pad_to(qg, (batch, kv_heads, group_pad, d_pad))
+    # Row layout: g * q_tokens + t (group-major) so the kernel's
+    # causal threshold is row % q_tokens.
+    qg = q.reshape(batch, kv_heads, group, q_tokens, head_dim)
+    qg = qg.reshape(batch, kv_heads, rows, head_dim)
+    qg = pad_to(qg, (batch, kv_heads, rows_pad, d_pad))
     kp = pad_to(cache.k_pages,
                 (num_pages, kv_heads, page_rows, d_pad))
     vp = pad_to(cache.v_pages,
@@ -445,11 +516,11 @@ def paged_decode(
                      else None)
     chunk_pages = _pages_per_chunk(kv_precision, max_pages)
     kernel = _make_paged_kernel(
-        group=group, group_pad=group_pad, page_size=page_size,
+        group=group, group_pad=rows_pad, page_size=page_size,
         page_rows=page_rows, d_pad=d_pad, scale=scale,
         out_dtype=q.dtype, pages_per_chunk=chunk_pages,
         precision=mxu_precision, kv_precision=kv_precision,
-        has_starts=kv_starts is not None)
+        has_starts=kv_starts is not None, q_chunk=q_chunk)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
                    cache.lengths.astype(jnp.int32)]
@@ -463,7 +534,7 @@ def paged_decode(
         num_scalar_prefetch=len(scalar_args),
         grid=(batch, kv_heads),
         in_specs=[
-            pl.BlockSpec((1, 1, group_pad, d_pad),
+            pl.BlockSpec((1, 1, rows_pad, d_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
             # K/V pools stay in HBM; the kernel walks the page table
             # with its own double-buffered DMA.
@@ -471,9 +542,9 @@ def paged_decode(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, group_pad, d_pad),
+            pl.BlockSpec((1, 1, rows_pad, d_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, group_pad),
+            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, rows_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
         ],
         scratch_shapes=[
@@ -487,9 +558,9 @@ def paged_decode(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (batch, kv_heads, group_pad, d_pad), q.dtype),
+                (batch, kv_heads, rows_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct(
-                (batch, kv_heads, RESIDUAL_SUBLANES, group_pad),
+                (batch, kv_heads, RESIDUAL_SUBLANES, rows_pad),
                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -499,12 +570,7 @@ def paged_decode(
         ),
         interpret=interpret,
     )(*scalar_args, qg, kp, vp)
-
-    o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
-    if return_residuals:
-        lse = lse[:, :, 0, :group].reshape(batch, q_heads)
-        return o, lse
-    return o
+    return o, lse, group
 
 
 def init_paged_cache(*, num_pages: int, kv_heads: int, page_size: int,

@@ -279,3 +279,74 @@ def test_paged_decode_sliding_window_quantized(rng):
     p = jax.nn.softmax(logits, axis=-1)
     o_ref = jnp.einsum("bhs,bhsd->bhd", p, vf)
     assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-2
+
+
+def test_paged_prefill_matches_causal_golden(rng):
+    """Multi-token paged attention (chunked prefill / spec-decode
+    verify): last q_chunk tokens, causal, vs the dense golden."""
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        paged_prefill,
+    )
+
+    batch, kv_heads, q_heads, d = 2, 2, 4, 64
+    page_size, max_pages, q_chunk = 128, 4, 16
+    lengths = [300, 512]
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, q_chunk, d)),
+                    jnp.float32)
+    o = paged_prefill(q, cache)
+
+    group = q_heads // kv_heads
+    s = kd.shape[2]
+    kf = jnp.repeat(kd.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(vd.astype(jnp.float32), group, axis=1)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), kf)
+    logits /= jnp.sqrt(jnp.float32(d))
+    pos = jnp.arange(s)[None, None, None, :]
+    qpos = (jnp.asarray(lengths, jnp.int32)[:, None, None, None]
+            - q_chunk + jnp.arange(q_chunk)[None, None, :, None])
+    live = pos <= qpos
+    logits = jnp.where(live, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    o_ref = jnp.einsum("bhts,bhsd->bhtd", p, vf)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()
+
+
+def test_paged_prefill_quantized_and_residuals(rng):
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        paged_prefill,
+        quantize_paged,
+    )
+
+    batch, kv_heads, q_heads, d = 1, 2, 4, 128
+    page_size, max_pages, q_chunk = 128, 4, 8
+    lengths = [450]
+    cache, kd, vd = build_paged(
+        rng, batch=batch, kv_heads=kv_heads, d=d, page_size=page_size,
+        lengths=lengths, max_pages=max_pages)
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, q_chunk, d)),
+                    jnp.float32)
+    o, lse = paged_prefill(q, quantize_paged(cache, OperandPrecision.INT8),
+                           return_residuals=True)
+    assert o.shape == q.shape and lse.shape == (batch, q_heads, q_chunk)
+
+    group = q_heads // kv_heads
+    s = kd.shape[2]
+    kf = jnp.repeat(kd.astype(jnp.float32), group, axis=1)
+    vf = jnp.repeat(vd.astype(jnp.float32), group, axis=1)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), kf)
+    logits /= jnp.sqrt(jnp.float32(d))
+    pos = jnp.arange(s)[None, None, None, :]
+    qpos = (jnp.asarray(lengths, jnp.int32)[:, None, None, None]
+            - q_chunk + jnp.arange(q_chunk)[None, None, :, None])
+    logits = jnp.where(pos <= qpos, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    o_ref = jnp.einsum("bhts,bhsd->bhtd", p, vf)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-2
+    lse_ref = jax.nn.logsumexp(logits, axis=-1)
+    assert float(jnp.max(jnp.abs(lse - lse_ref))) < 5e-2
