@@ -31,6 +31,11 @@ from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.models import llama
 from metal_flash_attention_tpu.ops.flash_attention import flash_attention
 from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+from metal_flash_attention_tpu.ops.paged_attention import (
+    PagedKVCache,
+    paged_append_chunk,
+    paged_prefill,
+)
 from metal_flash_attention_tpu.ops.quantization import (
     QuantizedTensor,
     quantize,
@@ -338,3 +343,148 @@ def gemma_generate(params: dict, prompt: jax.Array, cfg,
         logits, cache = step(params, token, cfg, cache)
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.concatenate(tokens, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Paged serving + speculative decoding
+# ---------------------------------------------------------------------------
+
+class PagedModelCache(NamedTuple):
+    """Per-layer paged KV pools sharing one page table / length vector
+    (vLLM-style serving cache; pairs with ops.paged_attention)."""
+    k: tuple           # [layers] x [num_pages, kv_heads, page_size, d]
+    v: tuple
+    page_table: jax.Array   # [batch, max_pages] int32
+    lengths: jax.Array      # [batch] int32
+
+
+def init_paged_model_cache(cfg: llama.LlamaConfig, batch: int,
+                           max_seq: int, *, page_size: int = 128,
+                           dtype=None) -> PagedModelCache:
+    """Contiguously page-assigned pool (each sequence owns a fixed
+    stride of pages; swap the table for allocator-driven assignment)."""
+    dtype = dtype or cfg.dtype
+    max_pages = -(-max_seq // page_size)
+    num_pages = batch * max_pages
+    shape = (num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
+    table = jnp.arange(num_pages, dtype=jnp.int32).reshape(
+        batch, max_pages)
+    return PagedModelCache(
+        k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
+        v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)),
+        page_table=table,
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def paged_chunk_step(params: dict, tokens: jax.Array,
+                     cfg: llama.LlamaConfig, cache: PagedModelCache
+                     ) -> tuple[jax.Array, PagedModelCache]:
+    """Consume a chunk of tokens (positions lengths..lengths+k-1):
+    write their K/V into the pools and return per-position logits
+    [batch, k, vocab].  Serves both prompt prefill (lengths = 0) and
+    speculative-verification chunks — the attention is
+    `ops.paged_prefill` (causal at each query's absolute position,
+    ragged lengths per sequence)."""
+    b, kc = tokens.shape
+    positions = cache.lengths[:, None] + jnp.arange(kc)[None, :]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    k_pools, v_pools = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, kc, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, kc, cfg.n_kv_heads,
+                                      cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, kc, cfg.n_kv_heads,
+                                      cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+
+        layer_cache = paged_append_chunk(
+            PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
+                         cache.lengths), k, v)
+        k_pools.append(layer_cache.k_pages)
+        v_pools.append(layer_cache.v_pages)
+        o = paged_prefill(q.astype(cfg.dtype), layer_cache)
+        o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
+                                   cache.page_table,
+                                   cache.lengths + kc)
+
+
+def _speculative_round(params, cfg, cache: PagedModelCache,
+                       last: jax.Array, drafts: jax.Array):
+    """One verify round: chunk = [last, d_1..d_kd] -> greedy preds
+    [b, kd+1]; accept the longest draft prefix matching the target's
+    argmaxes, then emit one more target token (the correction on a
+    mismatch, the bonus on full accept).  Emission is 1..kd+1 tokens,
+    every one equal to the plain greedy continuation.
+
+    Cache bookkeeping: the chunk writes K/V for all kd+1 positions;
+    per-sequence `lengths` rolls back to cover only the consumed
+    inputs (base + n_acc + 1) — rejected rows are dead until the next
+    chunk overwrites them (masks never read past `lengths`)."""
+    kd = drafts.shape[1]
+    base = cache.lengths
+    chunk = jnp.concatenate([last[:, None], drafts], axis=1)
+    logits, cache = paged_chunk_step(params, chunk, cfg, cache)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, kd+1]
+    eq = (drafts == preds[:, :kd]).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)       # [b] 0..kd
+    bonus = jnp.take_along_axis(preds, n_acc[:, None], axis=1)
+    slots = jnp.arange(kd + 1)[None, :]
+    emitted = jnp.where(
+        slots < n_acc[:, None],
+        jnp.pad(drafts, ((0, 0), (0, 1))),
+        jnp.where(slots == n_acc[:, None], bonus, -1))
+    next_last = bonus[:, 0]
+    cache = cache._replace(lengths=base + n_acc + 1)
+    return emitted, n_acc + 1, next_last, cache
+
+
+def speculative_generate(params: dict, prompt: jax.Array,
+                         cfg: llama.LlamaConfig, *,
+                         draft_fn, draft_len: int,
+                         max_new_tokens: int,
+                         page_size: int = 128) -> jax.Array:
+    """Greedy speculative decoding over a paged cache.
+
+    ``draft_fn(last_token [b], out_so_far [b, T]) -> drafts
+    [b, draft_len]`` proposes continuations (a small model, n-gram
+    lookup, anything).  The output equals the plain greedy sequence
+    for ANY draft — only the round count varies (each round emits
+    1 + accepts tokens, up to draft_len + 1 with the bonus)."""
+    b, s = prompt.shape
+    budget = s + max_new_tokens + 2 * (draft_len + 1)
+    cache = init_paged_model_cache(cfg, b, budget, page_size=page_size)
+    chunk = jax.jit(paged_chunk_step, static_argnames=("cfg",))
+    # Chunked prompt prefill: bounds the [group*chunk, page-strip]
+    # score tile in VMEM regardless of prompt length.
+    for i in range(0, s, page_size):
+        logits, cache = chunk(params, prompt[:, i:i + page_size], cfg,
+                              cache)
+    last = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    rnd = jax.jit(_speculative_round, static_argnames=("cfg",))
+    width = max_new_tokens + 2 * (draft_len + 1)
+    buf = jnp.full((b, width), -1, jnp.int32)     # last col sacrificial
+    buf = buf.at[:, 0].set(last)
+    count = jnp.ones((b,), jnp.int32)
+    while int(count.min()) < max_new_tokens:
+        drafts = draft_fn(last, buf)
+        assert drafts.shape == (b, draft_len)
+        emitted, n_em, last, cache = rnd(params, cfg, cache, last,
+                                         drafts.astype(jnp.int32))
+        idx = count[:, None] + jnp.arange(draft_len + 1)[None, :]
+        valid = jnp.arange(draft_len + 1)[None, :] < n_em[:, None]
+        idx = jnp.where(valid, jnp.minimum(idx, width - 1), width - 1)
+        buf = jax.vmap(lambda row, ix, vv: row.at[ix].set(vv))(
+            buf, idx, emitted)
+        count = count + n_em
+    return jnp.concatenate([prompt, buf[:, :max_new_tokens]], axis=1)

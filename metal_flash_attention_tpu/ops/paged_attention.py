@@ -496,10 +496,10 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
     assert page_rows % 8 == 0, page_rows
     kv_precision = getattr(cache, "precision", None)
 
-    if head_dim < MIN_LANES and head_dim % 8 == 0:
-        d_pad = head_dim
-    else:
-        d_pad = round_up(head_dim, MIN_LANES)
+    # The pools stay in HBM and the kernel slices them with its own
+    # DMAs, which require a 128-aligned lane extent — head dims below
+    # 128 must pad (compiled path; interpret mode would accept less).
+    d_pad = round_up(head_dim, MIN_LANES)
 
     # Row layout: g * q_tokens + t (group-major) so the kernel's
     # causal threshold is row % q_tokens.
@@ -616,3 +616,31 @@ def paged_append(cache: PagedKVCache, new_k: jax.Array,
     v_pages = write(cache.v_pages, new_v)
     return PagedKVCache(k_pages, v_pages, cache.page_table,
                         cache.lengths + 1)
+
+
+@jax.jit
+def paged_append_chunk(cache: PagedKVCache, new_k: jax.Array,
+                       new_v: jax.Array) -> PagedKVCache:
+    """Append a chunk of tokens per sequence at positions
+    lengths .. lengths + k - 1 (chunked prefill / speculative drafts;
+    pairs with :func:`paged_prefill`).
+
+    new_k/new_v: [batch, kv_heads, k, head_dim].  Pages for the
+    covered positions must already be assigned in the table; page
+    ownership is per-sequence, so the scattered (page, row) pairs are
+    unique and one vectorized scatter writes the whole chunk.
+    """
+    ps = cache.page_size
+    batch, kv_heads, kc, d = new_k.shape
+    pos = cache.lengths[:, None] + jnp.arange(kc)[None, :]   # [b, k]
+    page_idx = jnp.take_along_axis(cache.page_table, pos // ps, axis=1)
+    row = pos % ps
+
+    def write(pages, new):
+        vals = new.transpose(0, 2, 1, 3)                     # [b, k, h, d]
+        return pages.at[page_idx, :, row, :].set(
+            vals.astype(pages.dtype))
+
+    return PagedKVCache(write(cache.k_pages, new_k),
+                        write(cache.v_pages, new_v),
+                        cache.page_table, cache.lengths + kc)

@@ -1,0 +1,96 @@
+"""Speculative decoding over paged pools: the output must equal the
+plain greedy sequence for ANY draft; only the round count varies."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_flash_attention_tpu.models import llama, serving
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)),
+        jnp.int32)
+    greedy = serving.generate(params, prompt, cfg, max_new_tokens=12)
+    return cfg, params, prompt, greedy
+
+
+def test_paged_chunk_prefill_matches_dense(setup):
+    """paged_chunk_step over the prompt reproduces dense prefill
+    logits."""
+    cfg, params, prompt, _ = setup
+    b, s = prompt.shape
+    dense_cache = serving.init_cache(cfg, b, s + 4)
+    dense_logits, _ = serving.prefill(params, prompt, cfg, dense_cache)
+
+    cache = serving.init_paged_model_cache(cfg, b, s + 4)
+    logits, cache = serving.paged_chunk_step(params, prompt, cfg, cache)
+    err = float(jnp.max(jnp.abs(logits[:, -1] - dense_logits)))
+    assert err < 2e-2, err
+    assert cache.lengths.tolist() == [s, s]
+
+
+def test_speculative_zero_draft_equals_greedy(setup):
+    """A useless draft (all zeros): every round emits exactly the
+    correction token; output == greedy."""
+    cfg, params, prompt, greedy = setup
+
+    def draft_fn(last, buf):
+        return jnp.zeros((last.shape[0], 3), jnp.int32)
+
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=draft_fn, draft_len=3,
+        max_new_tokens=12)
+    assert out[:, :greedy.shape[1]].tolist() == greedy.tolist()
+
+
+def test_speculative_oracle_draft_equals_greedy(setup):
+    """An oracle draft (the greedy continuation itself): full accepts,
+    output == greedy, and it takes fewer rounds than tokens."""
+    cfg, params, prompt, greedy = setup
+    s = prompt.shape[1]
+    rounds = 0
+
+    def draft_fn(last, buf):
+        nonlocal rounds
+        rounds += 1
+        # Look up where `last` sits in the known greedy stream and
+        # propose the next 3 tokens (batch rows handled separately).
+        outs = []
+        for b in range(last.shape[0]):
+            row = greedy[b, s:]
+            # position of the current write head: count of emitted
+            # tokens = number of non(-1) entries in buf
+            n = int(jnp.sum(buf[b] != -1))
+            nxt = row[n:n + 3]
+            nxt = jnp.pad(nxt, (0, 3 - nxt.shape[0]))
+            outs.append(nxt)
+        return jnp.stack(outs).astype(jnp.int32)
+
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=draft_fn, draft_len=3,
+        max_new_tokens=12)
+    assert out[:, :greedy.shape[1]].tolist() == greedy.tolist()
+    # 12 tokens at up to 4/round with full accepts: strictly fewer
+    # rounds than tokens.
+    assert rounds <= 5, rounds
+
+
+def test_speculative_random_draft_equals_greedy(setup):
+    cfg, params, prompt, greedy = setup
+    rng = np.random.default_rng(3)
+
+    def draft_fn(last, buf):
+        return jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                        (last.shape[0], 2)), jnp.int32)
+
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=draft_fn, draft_len=2,
+        max_new_tokens=10)
+    assert out[:, :prompt.shape[1] + 10].tolist() == \
+        greedy[:, :prompt.shape[1] + 10].tolist()
