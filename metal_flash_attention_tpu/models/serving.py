@@ -34,6 +34,7 @@ from metal_flash_attention_tpu.ops.flash_decode import flash_decode
 from metal_flash_attention_tpu.ops.paged_attention import (
     PagedKVCache,
     paged_append_chunk,
+    paged_decode,
     paged_prefill,
 )
 from metal_flash_attention_tpu.ops.quantization import (
@@ -416,6 +417,62 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
     return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
                                    cache.page_table,
                                    cache.lengths + kc)
+
+
+def paged_decode_step(params: dict, token: jax.Array,
+                      cfg: llama.LlamaConfig, cache: PagedModelCache
+                      ) -> tuple[jax.Array, PagedModelCache]:
+    """One plain decode step over the paged cache (the vLLM-style
+    counterpart of :func:`decode_step`): append the token's K/V rows,
+    attend via `ops.paged_decode`."""
+    b = token.shape[0]
+    positions = cache.lengths[:, None]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    k_pools, v_pools = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+        layer_cache = paged_append_chunk(
+            PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
+                         cache.lengths), k, v)
+        k_pools.append(layer_cache.k_pages)
+        v_pools.append(layer_cache.v_pages)
+        o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache)
+        x = x + (o.reshape(b, 1, -1) @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
+                                   cache.page_table, cache.lengths + 1)
+
+
+def paged_generate(params: dict, prompt: jax.Array,
+                   cfg: llama.LlamaConfig, *, max_new_tokens: int,
+                   page_size: int = 128) -> jax.Array:
+    """Greedy generation entirely over the paged cache: chunked prompt
+    prefill, then per-token `paged_decode` steps."""
+    b, s = prompt.shape
+    budget = s + max_new_tokens + 1
+    cache = init_paged_model_cache(cfg, b, budget, page_size=page_size)
+    chunk = jax.jit(paged_chunk_step, static_argnames=("cfg",))
+    for i in range(0, s, page_size):
+        logits, cache = chunk(params, prompt[:, i:i + page_size], cfg,
+                              cache)
+    step = jax.jit(paged_decode_step, static_argnames=("cfg",),
+                   donate_argnums=(3,))
+    tokens = [prompt]
+    token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    for _ in range(max_new_tokens):
+        tokens.append(token[:, None])
+        logits, cache = step(params, token, cfg, cache)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.concatenate(tokens, axis=1)
 
 
 def _speculative_round(params, cfg, cache: PagedModelCache,

@@ -12,6 +12,9 @@ from metal_flash_attention_tpu.parallel.pipeline import (
     stage_param_sharding,
 )
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
 
 def mlp_stage(params, x):
     h = jnp.tanh(x @ params["w1"] + params["b1"])

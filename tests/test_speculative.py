@@ -94,3 +94,9 @@ def test_speculative_random_draft_equals_greedy(setup):
         max_new_tokens=10)
     assert out[:, :prompt.shape[1] + 10].tolist() == \
         greedy[:, :prompt.shape[1] + 10].tolist()
+
+
+def test_paged_generate_equals_dense_generate(setup):
+    cfg, params, prompt, greedy = setup
+    out = serving.paged_generate(params, prompt, cfg, max_new_tokens=12)
+    assert out.tolist() == greedy.tolist()
