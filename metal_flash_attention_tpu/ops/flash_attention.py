@@ -869,7 +869,7 @@ def flash_attention_forward(
     if use_dynamic:
         precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
-                     else None)
+                     else jax.lax.Precision.DEFAULT)
         out_dtype = q.dtype
         kernel = _make_fwd_kernel_dynamic(
             block_q=block_q, block_kv=block_kv, num_halves=num_halves,
@@ -1037,7 +1037,8 @@ def flash_attention_forward(
     # regime carries a 2e-5 tolerance contract); lower precisions use
     # the native bf16 MXU path.
     precision = (jax.lax.Precision.HIGHEST
-                 if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32) else None)
+                 if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
+                 else jax.lax.Precision.DEFAULT)
     kernel = _make_fwd_kernel(
         block_q=block_q, block_kv=block_kv, num_halves=num_halves,
         num_kv_blocks=num_kv_blocks,

@@ -419,7 +419,8 @@ def flash_attention_backward(
             else 1)
 
     precision = (jax.lax.Precision.HIGHEST
-                 if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32) else None)
+                 if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
+                 else jax.lax.Precision.DEFAULT)
 
     # D = rowsum(dO * O): shared residual of both kernels
     # (reference's D operand, AttentionKernel+Softmax.swift:32-221).

@@ -320,7 +320,7 @@ def flash_decode(
     # FP32 inputs demand true FP32 MXU passes (the 2e-5 regime).
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
-                     else None)
+                     else jax.lax.Precision.DEFAULT)
     kernel = _make_decode_kernel(
         group=group, group_pad=group_pad, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,

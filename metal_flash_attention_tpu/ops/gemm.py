@@ -128,7 +128,7 @@ def gemm(
             jax.lax.Precision.HIGHEST
             if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float32)
                 or jnp.dtype(b.dtype) == jnp.dtype(jnp.float32))
-            else None)
+            else jax.lax.Precision.DEFAULT)
         a_contract = 0 if transpose_a else 1
         b_contract = 1 if transpose_b else 0
         out = jax.lax.dot_general(
@@ -163,7 +163,7 @@ def gemm(
         jax.lax.Precision.HIGHEST
         if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float32)
             or jnp.dtype(b.dtype) == jnp.dtype(jnp.float32))
-        else None)
+        else jax.lax.Precision.DEFAULT)
 
     # With a transposed A the M dimension is the lane axis of A's
     # blocks, so it must be 128-aligned; otherwise 8 (sublane) suffices.

@@ -513,7 +513,7 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
 
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
-                     else None)
+                     else jax.lax.Precision.DEFAULT)
     chunk_pages = _pages_per_chunk(kv_precision, max_pages)
     kernel = _make_paged_kernel(
         group=group, group_pad=rows_pad, page_size=page_size,

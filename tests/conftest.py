@@ -22,6 +22,16 @@ if not os.environ.get("MFA_TPU_TEST_REAL"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On the real chip the jnp golden models run on-device too, and
+    # TPU's default matmul precision computes fp32 contractions in
+    # bf16 passes (~5e-3 error at golden scale) — far looser than the
+    # kernels, which request HIGHEST explicitly for fp32 inputs.
+    # Pin the default so goldens are trustworthy; kernels that pass an
+    # explicit `precision=` are unaffected.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

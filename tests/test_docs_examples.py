@@ -97,6 +97,8 @@ def test_serving_guide_paged_pool():
     assert int(grown.lengths[0]) == 257
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_parallelism_guide_mesh_and_ring():
     from metal_flash_attention_tpu.parallel import (
         make_mesh,
@@ -119,6 +121,8 @@ def test_parallelism_guide_mesh_and_ring():
     assert o2.shape == q2.shape
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_parallelism_guide_pipeline():
     from metal_flash_attention_tpu.parallel.pipeline import (
         make_pipeline_mesh,

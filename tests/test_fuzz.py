@@ -105,8 +105,11 @@ def test_fuzz_gradients(trial):
         return jnp.sum(jnp.stack(outs)[None] * do)
 
     g_ref = jax.grad(ref_loss, (0, 1, 2))(q, k, v)
+    # fp32 on TPU is multi-pass bf16 emulation (~2e-4 at these sizes,
+    # matching fp32_kernel_tol); CPU fp32 is exact.
+    base = 1e-4 if jax.default_backend() == "cpu" else 4e-4
     for name, a, b in zip("qkv", g, g_ref):
-        assert max_abs_err(a, b) < 1e-4 * max(1, n // 64), (
+        assert max_abs_err(a, b) < base * max(1, n // 64), (
             trial, n, d, causal, name)
 
 
