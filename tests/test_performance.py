@@ -1,0 +1,132 @@
+"""Performance tests inside the test target (reference:
+`testPerformance` suites living next to correctness,
+SquareAttentionTest.swift:741-757, LaplacianTest.swift:44-109).
+
+Real hardware only; thresholds are deliberately loose regression
+guards (~25-40% below measured steady state on v5e), not benchmarks —
+`bench.py` is the benchmark.  Timing goes through
+`utils/profiling.time_scalar_fn` (floor-amortized in-jit loops).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MFA_TPU_TEST_REAL")
+    or jax.default_backend() == "cpu",
+    reason="performance guards run on real hardware only")
+
+
+@pytest.fixture(scope="module")
+def floor():
+    from metal_flash_attention_tpu.utils.profiling import (
+        measure_dispatch_floor,
+    )
+    return measure_dispatch_floor()
+
+
+def test_forward_utilization_guard(floor):
+    """bf16 fwd D=128 N=4096 has measured ~81% of roofline; guard at
+    60% (the two-half pipeline or block tables regressing would land
+    far below)."""
+    from metal_flash_attention_tpu.ops.flash_attention import (
+        flash_attention,
+    )
+    from metal_flash_attention_tpu.runtime.context import DeviceContext
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    n, d, heads = 4096, 128, 8
+    q = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+
+    def one(q, k, v):
+        return (flash_attention(q, k, v)[0, 0, :1, :1]
+                .astype(jnp.float32).sum())
+
+    secs = time_scalar_fn(one, (q, k, v), iters=128,
+                          dispatch_floor=floor)
+    ctx = DeviceContext.get()
+    ginstrs = (2 * d + 5) * n * n * heads / secs / 1e9
+    util = ginstrs / ctx.roofline_ginstrs_per_s
+    assert util > 0.60, f"fwd utilization regressed: {util:.1%}"
+
+
+def test_decode_throughput_guard(floor):
+    """bf16 decode (b=8, 8 KV heads, D=128, S=8192) measured ~22k
+    tok/s; guard at 15k."""
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s = 8, 32, 8, 128, 8192
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.bfloat16)
+    lens = jnp.full((batch,), s, jnp.int32)
+
+    def one(q, k, v):
+        o = flash_decode(q, k, v, kv_lens=lens)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    secs = time_scalar_fn(one, (q, k, v), iters=256,
+                          dispatch_floor=floor)
+    toks = batch / secs
+    assert toks > 15_000, f"decode throughput regressed: {toks:.0f} tok/s"
+
+
+def test_quantized_decode_speedup_guard(floor):
+    """INT8 KV decode must stay meaningfully faster than bf16 (the
+    scale folding / wide blocks regressing would erase it).  Measured
+    ~2.0x; guard at 1.4x."""
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    from metal_flash_attention_tpu.ops.quantization import quantize
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s = 8, 32, 8, 128, 8192
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    kf = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    lens = jnp.full((batch,), s, jnp.int32)
+
+    def timed(k, v):
+        def one(q, k, v):
+            o = flash_decode(q, k, v, kv_lens=lens)
+            return o[0, 0, :1].astype(jnp.float32).sum()
+        return time_scalar_fn(one, (q, k, v), iters=256,
+                              dispatch_floor=floor)
+
+    t_bf16 = timed(kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16))
+    t_int8 = timed(quantize(kf, OperandPrecision.INT8),
+                   quantize(vf, OperandPrecision.INT8))
+    speedup = t_bf16 / t_int8
+    assert speedup > 1.4, f"INT8 decode speedup regressed: {speedup:.2f}x"
+
+
+def test_gemm_throughput_guard(floor):
+    """bf16 4096^3 GEMM measured ~97% of peak; guard at 70%."""
+    from metal_flash_attention_tpu.ops.gemm import gemm
+    from metal_flash_attention_tpu.runtime.context import DeviceContext
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+
+    def one(a, b):
+        return gemm(a, b)[:1, :1].astype(jnp.float32).sum()
+
+    secs = time_scalar_fn(one, (a, b), iters=64, dispatch_floor=floor)
+    flops = 2 * n ** 3 / secs
+    frac = flops / DeviceContext.get().info.peak_bf16_flops
+    assert frac > 0.70, f"GEMM throughput regressed: {frac:.1%}"
