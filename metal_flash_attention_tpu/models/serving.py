@@ -89,6 +89,22 @@ def prefill(params: dict, tokens: jax.Array, cfg: llama.LlamaConfig,
     return logits, KVCache(k_cache, v_cache, lengths)
 
 
+def _layer_qkv(layer: dict, x: jax.Array, cfg: llama.LlamaConfig,
+               cos, sin):
+    """Shared pre-attention block: norm -> QKV projections -> rope.
+    Returns q [b, qh, s, d], k/v [b, kvh, s, d] — used by every
+    llama-family decode/chunk step so the projection plumbing lives in
+    one place."""
+    b, s, _ = x.shape
+    h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q = (h @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = (h @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+    k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+    return q, k, v.transpose(0, 2, 1, 3)
+
+
 def decode_step(params: dict, token: jax.Array, cfg: llama.LlamaConfig,
                 cache: KVCache) -> tuple[jax.Array, KVCache]:
     """One decode step. token: int32 [batch]; returns (logits, cache)."""
@@ -98,13 +114,7 @@ def decode_step(params: dict, token: jax.Array, cfg: llama.LlamaConfig,
     x = params["embed"][token][:, None, :].astype(cfg.dtype)  # [b, 1, d]
     k_out, v_out = [], []
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
 
         # Scatter the new row at each sequence's live position.
         def write(c, n):
@@ -367,7 +377,10 @@ def init_paged_model_cache(cfg: llama.LlamaConfig, batch: int,
     dtype = dtype or cfg.dtype
     max_pages = -(-max_seq // page_size)
     num_pages = batch * max_pages
-    shape = (num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
+    # Lanes pre-padded to the paged kernels' DMA alignment (see
+    # init_paged_cache) so decode steps never copy the pool.
+    d_store = -(-cfg.head_dim // 128) * 128
+    shape = (num_pages, cfg.n_kv_heads, page_size, d_store)
     table = jnp.arange(num_pages, dtype=jnp.int32).reshape(
         batch, max_pages)
     return PagedModelCache(
@@ -393,15 +406,7 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
     x = params["embed"][tokens].astype(cfg.dtype)
     k_pools, v_pools = [], []
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, kc, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, kc, cfg.n_kv_heads,
-                                      cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, kc, cfg.n_kv_heads,
-                                      cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
 
         layer_cache = paged_append_chunk(
             PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
@@ -431,13 +436,7 @@ def paged_decode_step(params: dict, token: jax.Array,
     x = params["embed"][token][:, None, :].astype(cfg.dtype)
     k_pools, v_pools = [], []
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
         layer_cache = paged_append_chunk(
             PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
                          cache.lengths), k, v)
@@ -476,7 +475,8 @@ def paged_generate(params: dict, prompt: jax.Array,
 
 
 def _speculative_round(params, cfg, cache: PagedModelCache,
-                       last: jax.Array, drafts: jax.Array):
+                       last: jax.Array, drafts: jax.Array,
+                       live: jax.Array):
     """One verify round: chunk = [last, d_1..d_kd] -> greedy preds
     [b, kd+1]; accept the longest draft prefix matching the target's
     argmaxes, then emit one more target token (the correction on a
@@ -486,7 +486,11 @@ def _speculative_round(params, cfg, cache: PagedModelCache,
     Cache bookkeeping: the chunk writes K/V for all kd+1 positions;
     per-sequence `lengths` rolls back to cover only the consumed
     inputs (base + n_acc + 1) — rejected rows are dead until the next
-    chunk overwrites them (masks never read past `lengths`)."""
+    chunk overwrites them (masks never read past `lengths`).
+    Sequences with ``live`` False (already finished) are frozen: their
+    lengths and emission counts stay put, so their page usage stops
+    growing while the rest of the batch drains — the page budget is
+    bounded by s + max_new + 2*(kd+1) per sequence."""
     kd = drafts.shape[1]
     base = cache.lengths
     chunk = jnp.concatenate([last[:, None], drafts], axis=1)
@@ -500,9 +504,11 @@ def _speculative_round(params, cfg, cache: PagedModelCache,
         slots < n_acc[:, None],
         jnp.pad(drafts, ((0, 0), (0, 1))),
         jnp.where(slots == n_acc[:, None], bonus, -1))
-    next_last = bonus[:, 0]
-    cache = cache._replace(lengths=base + n_acc + 1)
-    return emitted, n_acc + 1, next_last, cache
+    next_last = jnp.where(live, bonus[:, 0], last)
+    n_em = jnp.where(live, n_acc + 1, 0)
+    cache = cache._replace(lengths=jnp.where(live, base + n_acc + 1,
+                                             base))
+    return emitted, n_em, next_last, cache
 
 
 def speculative_generate(params: dict, prompt: jax.Array,
@@ -516,7 +522,11 @@ def speculative_generate(params: dict, prompt: jax.Array,
     [b, draft_len]`` proposes continuations (a small model, n-gram
     lookup, anything).  The output equals the plain greedy sequence
     for ANY draft — only the round count varies (each round emits
-    1 + accepts tokens, up to draft_len + 1 with the bonus)."""
+    1 + accepts tokens, up to draft_len + 1 with the bonus).  Caveat:
+    "equals greedy" is up to kernel numerics — the chunked verify and
+    the token-by-token decode paths can flip an argmax when two bf16
+    logits sit one ULP apart; two speculative runs (any drafts) are
+    mutually bitwise-consistent."""
     b, s = prompt.shape
     budget = s + max_new_tokens + 2 * (draft_len + 1)
     cache = init_paged_model_cache(cfg, b, budget, page_size=page_size)
@@ -536,8 +546,9 @@ def speculative_generate(params: dict, prompt: jax.Array,
     while int(count.min()) < max_new_tokens:
         drafts = draft_fn(last, buf)
         assert drafts.shape == (b, draft_len)
+        live = count < max_new_tokens
         emitted, n_em, last, cache = rnd(params, cfg, cache, last,
-                                         drafts.astype(jnp.int32))
+                                         drafts.astype(jnp.int32), live)
         idx = count[:, None] + jnp.arange(draft_len + 1)[None, :]
         valid = jnp.arange(draft_len + 1)[None, :] < n_em[:, None]
         idx = jnp.where(valid, jnp.minimum(idx, width - 1), width - 1)

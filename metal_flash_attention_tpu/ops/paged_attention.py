@@ -44,9 +44,9 @@ from metal_flash_attention_tpu.ops.flash_decode import GROUP_PAD
 from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.ops.quantization import (
     _FP8_MAGIC_EXP,
-    NF4_CODEBOOK,
     fp8_expand_bits,
     nf4_codebook_lookup,
+    nf4_nearest_indices,
 )
 from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 
@@ -127,9 +127,7 @@ def quantize_paged(cache: PagedKVCache,
             assert ps % 2 == 0, "NF4 pages need an even page_size"
             scale = jnp.maximum(absmax, 1e-12)
             normed = pages.astype(jnp.float32) / scale[:, :, None, None]
-            codebook = jnp.asarray(NF4_CODEBOOK, jnp.float32)
-            midpoints = (codebook[1:] + codebook[:-1]) / 2.0
-            idx = jnp.searchsorted(midpoints, normed).astype(jnp.uint8)
+            idx = nf4_nearest_indices(normed)
             lo, hi = idx[:, :, :ps // 2], idx[:, :, ps // 2:]
             return (lo | (hi << 4)).astype(jnp.uint8), scale
         raise ValueError(f"unsupported paged KV precision: {precision}")
@@ -152,7 +150,8 @@ PAGES_PER_CHUNK = 16
 PAGES_PER_CHUNK_QUANTIZED = 64
 
 
-def _pages_per_chunk(kv_precision, max_pages: int) -> int:
+def _pages_per_chunk(kv_precision, max_pages: int, *, rows_pad: int = 8,
+                     page_size: int = 128) -> int:
     if kv_precision is OperandPrecision.NF4:
         # VPU-bound (codebook lookup): narrow strips overlap the
         # lookup with the next chunk's DMA best (v5e sweep: 3500 tok/s
@@ -166,6 +165,12 @@ def _pages_per_chunk(kv_precision, max_pages: int) -> int:
     # A chunk wider than the whole table only DMAs clamped duplicate
     # pages; shrink to the covering power of two.
     while base > 1 and base // 2 >= max_pages:
+        base //= 2
+    # Multi-token queries (paged_prefill) widen the score tile by
+    # rows_pad: keep the two [rows_pad, chunk] f32 tiles (s and p)
+    # inside a VMEM budget by narrowing the gather instead.
+    budget = 8 * 1024 * 1024
+    while base > 1 and 2 * rows_pad * base * page_size * 4 > budget:
         base //= 2
     return base
 
@@ -514,7 +519,9 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
     mxu_precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                      else jax.lax.Precision.DEFAULT)
-    chunk_pages = _pages_per_chunk(kv_precision, max_pages)
+    chunk_pages = _pages_per_chunk(kv_precision, max_pages,
+                                   rows_pad=rows_pad,
+                                   page_size=page_size)
     kernel = _make_paged_kernel(
         group=group, group_pad=rows_pad, page_size=page_size,
         page_rows=page_rows, d_pad=d_pad, scale=scale,
@@ -576,11 +583,18 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
 def init_paged_cache(*, num_pages: int, kv_heads: int, page_size: int,
                      head_dim: int, batch: int, max_pages: int,
                      dtype=jnp.bfloat16) -> PagedKVCache:
-    """Empty pool with an unassigned (-0-filled) page table."""
+    """Empty pool with an unassigned (-0-filled) page table.
+
+    Pools are allocated with head_dim padded to 128 lanes (the paged
+    kernels' HBM DMA alignment): pre-padding here makes the per-call
+    `pad_to` inside paged_decode/paged_prefill a no-op, instead of an
+    O(pool) copy every step for head dims below 128.  Hand-built
+    pools with unpadded lanes still work — they just pay that copy."""
+    d_store = round_up(head_dim, MIN_LANES)
     return PagedKVCache(
-        k_pages=jnp.zeros((num_pages, kv_heads, page_size, head_dim),
+        k_pages=jnp.zeros((num_pages, kv_heads, page_size, d_store),
                           dtype),
-        v_pages=jnp.zeros((num_pages, kv_heads, page_size, head_dim),
+        v_pages=jnp.zeros((num_pages, kv_heads, page_size, d_store),
                           dtype),
         page_table=jnp.zeros((batch, max_pages), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
@@ -600,10 +614,12 @@ def paged_append(cache: PagedKVCache, new_k: jax.Array,
     page_size = cache.page_size
 
     def write(pages, new):
+        d = new.shape[-1]
+
         def per_seq(pages, n, length, table):
             page = table[length // page_size]
             off = length % page_size
-            return pages.at[page, :, off, :].set(
+            return pages.at[page, :, off, :d].set(
                 n.astype(pages.dtype))
         # Sequential fold over the batch: two sequences may share no
         # page, but the .at updates compose regardless of order.
@@ -638,7 +654,7 @@ def paged_append_chunk(cache: PagedKVCache, new_k: jax.Array,
 
     def write(pages, new):
         vals = new.transpose(0, 2, 1, 3)                     # [b, k, h, d]
-        return pages.at[page_idx, :, row, :].set(
+        return pages.at[page_idx, :, row, :d].set(
             vals.astype(pages.dtype))
 
     return PagedKVCache(write(cache.k_pages, new_k),

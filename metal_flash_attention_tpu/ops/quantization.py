@@ -83,11 +83,7 @@ def quantize(x: jax.Array, precision: OperandPrecision) -> QuantizedTensor:
         assert x.shape[-1] % 2 == 0, "NF4 packs 2 values/byte along D"
         scale = _absmax_scale(x32, 1.0)
         normalized = x32 / scale[:, :, None, None]
-        # Nearest codebook index (codebook is sorted: searchsorted on
-        # midpoints).
-        codebook = jnp.asarray(NF4_CODEBOOK, jnp.float32)
-        midpoints = (codebook[1:] + codebook[:-1]) / 2.0
-        idx = jnp.searchsorted(midpoints, normalized).astype(jnp.uint8)
+        idx = nf4_nearest_indices(normalized)
         # Split-half layout: byte j packs elements j (low nibble) and
         # j + D/2 (high nibble).  Unlike the reference's interleaved
         # nibble pairs (`nf4_to_half2`), unpacking this layout is a
@@ -99,6 +95,15 @@ def quantize(x: jax.Array, precision: OperandPrecision) -> QuantizedTensor:
         packed = (lo | (hi << 4)).astype(jnp.uint8)
         return QuantizedTensor(packed, scale, precision)
     raise ValueError(f"not a quantized precision: {precision}")
+
+
+def nf4_nearest_indices(normalized: jax.Array) -> jax.Array:
+    """Nearest NF4 codebook index per element (the codebook is sorted,
+    so nearest = searchsorted on midpoints); shared by the dense
+    (head-dim split) and paged (token-row split) packers."""
+    codebook = jnp.asarray(NF4_CODEBOOK, jnp.float32)
+    midpoints = (codebook[1:] + codebook[:-1]) / 2.0
+    return jnp.searchsorted(midpoints, normalized).astype(jnp.uint8)
 
 
 def dequantize(t: QuantizedTensor) -> jax.Array:

@@ -164,3 +164,23 @@ def test_performance_guide_profiling_api():
                              iters=2)
     assert isinstance(rep, RooflineReport)
     assert rep.ginstrs_per_s > 0 and "GINSTRS" in str(rep)
+
+
+def test_serving_guide_decode_loop():
+    from metal_flash_attention_tpu.models import llama, serving
+
+    cfg = llama.LlamaConfig.tiny(n_layers=1)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 8)), jnp.int32)
+    cache = serving.init_cache(cfg, 2, 12)
+    logits, cache = serving.prefill(params, prompt, cfg, cache)
+    tok = logits.argmax(-1).astype(jnp.int32)
+    toks = [tok]
+    for _ in range(3):
+        logits, cache = serving.decode_step(params, tok, cfg, cache)
+        tok = logits.argmax(-1).astype(jnp.int32)
+        toks.append(tok)
+    ref = serving.generate(params, prompt, cfg, max_new_tokens=4)
+    got = jnp.stack(toks, axis=1)
+    assert got.tolist() == ref[:, prompt.shape[1]:].tolist()

@@ -150,8 +150,11 @@ def test_allocator_drives_paged_decode(rng):
             (kv_heads, len(pages) * page_size, d)).astype(np.float32)
         for pi, page in enumerate(pages):
             table[b, pi] = page
-            k_pages[page] = data_k[:, pi * page_size:(pi + 1) * page_size]
-            v_pages[page] = data_v[:, pi * page_size:(pi + 1) * page_size]
+            # Pools are pre-padded to 128 lanes; write the logical d.
+            k_pages[page, :, :, :d] = \
+                data_k[:, pi * page_size:(pi + 1) * page_size]
+            v_pages[page, :, :, :d] = \
+                data_v[:, pi * page_size:(pi + 1) * page_size]
         k_dense[b, :, :data_k.shape[1]] = data_k
         v_dense[b, :, :data_v.shape[1]] = data_v
     cache = cache._replace(

@@ -100,3 +100,47 @@ def test_paged_generate_equals_dense_generate(setup):
     cfg, params, prompt, greedy = setup
     out = serving.paged_generate(params, prompt, cfg, max_new_tokens=12)
     assert out.tolist() == greedy.tolist()
+
+
+def test_speculative_ragged_acceptance_budget(setup):
+    """Regression: one sequence's drafts always accepted, the other's
+    always rejected — the accepted sequence finishes early and must
+    FREEZE (its page usage stops growing) while the slow one drains;
+    pre-fix the fast sequence overran the page budget and corrupted
+    its cache.
+
+    The reference here is speculative generation with all-reject
+    drafts (same chunk kernel path), not the dense greedy loop: the
+    two decode paths can flip bf16 near-tie argmaxes (observed one-ULP
+    logit gaps at ~24 tokens on this seed), while two runs through the
+    same chunk kernel are bitwise-deterministic."""
+    cfg, params, prompt, _ = setup
+    s = prompt.shape[1]
+    max_new = 24
+
+    def reject_fn(last, buf):
+        return jnp.full((last.shape[0], 3), cfg.vocab_size - 1,
+                        jnp.int32)
+
+    ref = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=reject_fn, draft_len=3,
+        max_new_tokens=max_new)
+
+    def draft_fn(last, buf):
+        outs = []
+        for b in range(last.shape[0]):
+            if b == 0:
+                outs.append(jnp.full((3,), cfg.vocab_size - 1, jnp.int32))
+            else:
+                # Seq 1: oracle drafts from the reference stream —
+                # always accepted, finishes in ~1/4 the rounds.
+                row = ref[b, s:]
+                n = int(jnp.sum(buf[b] != -1))
+                nxt = row[n:n + 3]
+                outs.append(jnp.pad(nxt, (0, 3 - nxt.shape[0])))
+        return jnp.stack(outs).astype(jnp.int32)
+
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=draft_fn, draft_len=3,
+        max_new_tokens=max_new)
+    assert out.tolist() == ref.tolist()
