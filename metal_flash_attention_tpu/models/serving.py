@@ -476,7 +476,7 @@ def paged_generate(params: dict, prompt: jax.Array,
 
 def _speculative_round(params, cfg, cache: PagedModelCache,
                        last: jax.Array, drafts: jax.Array,
-                       live: jax.Array):
+                       live: jax.Array, chunk_step=None):
     """One verify round: chunk = [last, d_1..d_kd] -> greedy preds
     [b, kd+1]; accept the longest draft prefix matching the target's
     argmaxes, then emit one more target token (the correction on a
@@ -493,8 +493,9 @@ def _speculative_round(params, cfg, cache: PagedModelCache,
     bounded by s + max_new + 2*(kd+1) per sequence."""
     kd = drafts.shape[1]
     base = cache.lengths
+    chunk_step = chunk_step or paged_chunk_step
     chunk = jnp.concatenate([last[:, None], drafts], axis=1)
-    logits, cache = paged_chunk_step(params, chunk, cfg, cache)
+    logits, cache = chunk_step(params, chunk, cfg, cache)
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, kd+1]
     eq = (drafts == preds[:, :kd]).astype(jnp.int32)
     n_acc = jnp.sum(jnp.cumprod(eq, axis=1), axis=1)       # [b] 0..kd
@@ -515,7 +516,8 @@ def speculative_generate(params: dict, prompt: jax.Array,
                          cfg: llama.LlamaConfig, *,
                          draft_fn, draft_len: int,
                          max_new_tokens: int,
-                         page_size: int = 128) -> jax.Array:
+                         page_size: int = 128,
+                         chunk_step=None) -> jax.Array:
     """Greedy speculative decoding over a paged cache.
 
     ``draft_fn(last_token [b], out_so_far [b, T]) -> drafts
@@ -530,7 +532,8 @@ def speculative_generate(params: dict, prompt: jax.Array,
     b, s = prompt.shape
     budget = s + max_new_tokens + 2 * (draft_len + 1)
     cache = init_paged_model_cache(cfg, b, budget, page_size=page_size)
-    chunk = jax.jit(paged_chunk_step, static_argnames=("cfg",))
+    chunk_step = chunk_step or paged_chunk_step
+    chunk = jax.jit(chunk_step, static_argnames=("cfg",))
     # Chunked prompt prefill: bounds the [group*chunk, page-strip]
     # score tile in VMEM regardless of prompt length.
     for i in range(0, s, page_size):
@@ -538,7 +541,8 @@ def speculative_generate(params: dict, prompt: jax.Array,
                               cache)
     last = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
-    rnd = jax.jit(_speculative_round, static_argnames=("cfg",))
+    rnd = jax.jit(_speculative_round,
+                  static_argnames=("cfg", "chunk_step"))
     width = max_new_tokens + 2 * (draft_len + 1)
     buf = jnp.full((b, width), -1, jnp.int32)     # last col sacrificial
     buf = buf.at[:, 0].set(last)
@@ -548,7 +552,8 @@ def speculative_generate(params: dict, prompt: jax.Array,
         assert drafts.shape == (b, draft_len)
         live = count < max_new_tokens
         emitted, n_em, last, cache = rnd(params, cfg, cache, last,
-                                         drafts.astype(jnp.int32), live)
+                                         drafts.astype(jnp.int32), live,
+                                         chunk_step=chunk_step)
         idx = count[:, None] + jnp.arange(draft_len + 1)[None, :]
         valid = jnp.arange(draft_len + 1)[None, :] < n_em[:, None]
         idx = jnp.where(valid, jnp.minimum(idx, width - 1), width - 1)
@@ -556,3 +561,55 @@ def speculative_generate(params: dict, prompt: jax.Array,
             buf, idx, emitted)
         count = count + n_em
     return jnp.concatenate([prompt, buf[:, :max_new_tokens]], axis=1)
+
+
+def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
+                           cache: PagedModelCache
+                           ) -> tuple[jax.Array, PagedModelCache]:
+    """Gemma chunk step over a paged cache: local layers attend
+    through their sliding window (in-kernel per-query-row window in
+    `ops.paged_prefill`), attention logits soft-capped.  Serves Gemma
+    prompt prefill and speculative-verification chunks; pass as
+    ``chunk_step`` to :func:`speculative_generate`."""
+    from metal_flash_attention_tpu.models import gemma
+
+    b, kc = tokens.shape
+    positions = cache.lengths[:, None] + jnp.arange(kc)[None, :]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    x = x * jnp.asarray(float(cfg.dim) ** 0.5, cfg.dtype)
+    k_pools, v_pools = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = gemma.rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(b, kc, cfg.n_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, kc, cfg.n_kv_heads,
+                                      cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, kc, cfg.n_kv_heads,
+                                      cfg.head_dim)
+        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+        v = v.transpose(0, 2, 1, 3)
+        layer_cache = paged_append_chunk(
+            PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
+                         cache.lengths), k, v)
+        k_pools.append(layer_cache.k_pages)
+        v_pools.append(layer_cache.v_pages)
+        window = (cfg.sliding_window if gemma.is_local_layer(li)
+                  else None)
+        o = paged_prefill(q.astype(cfg.dtype), layer_cache,
+                          scale=cfg.attn_scale,
+                          logit_softcap=cfg.attn_logit_softcap,
+                          window_size=window)
+        o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
+        o = (o @ layer["wo"]).astype(x.dtype)
+        o = gemma.rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + o
+        x = gemma.mlp_block(layer, x, cfg)
+    x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
+                                   cache.page_table,
+                                   cache.lengths + kc)

@@ -178,7 +178,8 @@ def _pages_per_chunk(kv_precision, max_pages: int, *, rows_pad: int = 8,
 def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                        d_pad, scale, out_dtype, pages_per_chunk,
                        precision=None, kv_precision=None,
-                       has_starts=False, q_chunk=None):
+                       has_starts=False, q_chunk=None,
+                       logit_softcap=None, window_size=None):
     """Grid = (batch, kv_heads); the page walk happens inside one
     kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
     DMAs into a contiguous scratch strip (double-buffered), then runs
@@ -200,6 +201,9 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
     the two modes share every other code path.
     """
     scale_log2e = scale * LOG2E
+    # Softcap operates on natural-unit logits; in the base-2 domain
+    # the same curve is cap2 * tanh(s2 / cap2), cap2 = cap * log2(e).
+    softcap2 = logit_softcap * LOG2E if logit_softcap else None
     G = pages_per_chunk
     chunk = G * page_size
     fp8_magic = (2.0 ** _FP8_MAGIC_EXP[kv_precision]
@@ -226,12 +230,18 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         last_page = jnp.maximum(n_pages - 1, 0)
 
         def first_chunk(bb):
-            """First chunk with any attended column (sliding-window
-            decode: columns before kv_starts[bb] are dead and their
+            """First chunk with any attended column (sliding windows:
+            columns before every query's window are dead and their
             chunks are never fetched)."""
-            if not has_starts:
-                return jnp.int32(0)
-            return jnp.maximum(starts_ref[bb], 0) // chunk
+            s0 = jnp.int32(0)
+            if has_starts:
+                s0 = jnp.maximum(starts_ref[bb], 0)
+            if window_size is not None:
+                # Earliest query position's window start.
+                qlo = lens_ref[bb] - (q_chunk or 1)
+                s0 = jnp.maximum(
+                    s0, jnp.maximum(qlo - window_size + 1, 0))
+            return s0 // chunk
 
         c0 = first_chunk(b)
         kv_start = starts_ref[b] if has_starts else None
@@ -352,6 +362,10 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                     s = s * scale_row(k_scales_ref, c)
                 cols = jax.lax.broadcasted_iota(
                     jnp.int32, (group_pad, chunk), 1) + c * chunk
+            if softcap2 is not None:
+                # After the dequant column scale: softcap is nonlinear
+                # and must see fully-scaled logits.
+                s = softcap2 * jnp.tanh(s / softcap2)
             live = cols < kv_len
             if has_starts:
                 live = jnp.logical_and(live, cols >= kv_start)
@@ -360,8 +374,15 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                 # kv_len - q_chunk + t: causal within the new chunk.
                 t_row = jax.lax.broadcasted_iota(
                     jnp.int32, cols.shape, 0) % q_chunk
+                qpos = kv_len - q_chunk + t_row
+                live = jnp.logical_and(live, cols <= qpos)
+                if window_size is not None:
+                    live = jnp.logical_and(
+                        live, cols > qpos - window_size)
+            elif window_size is not None:
+                # Decode: the single query sits at kv_len - 1.
                 live = jnp.logical_and(
-                    live, cols <= kv_len - q_chunk + t_row)
+                    live, cols >= kv_len - window_size)
             s = jnp.where(live, s, MASK_VALUE)
             m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
@@ -411,14 +432,17 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret",
-                                             "return_residuals"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "logit_softcap", "window_size", "interpret",
+    "return_residuals"))
 def paged_decode(
     q: jax.Array,
     cache: PagedKVCache,
     *,
     kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+    window_size: Optional[int] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
 ):
@@ -435,6 +459,7 @@ def paged_decode(
     batch, q_heads, head_dim = q.shape
     o, lse, group = _paged_attention(
         q[:, :, None, :], cache, kv_starts=kv_starts, scale=scale,
+        logit_softcap=logit_softcap, window_size=window_size,
         interpret=interpret, q_chunk=None)
     o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
     if return_residuals:
@@ -443,14 +468,17 @@ def paged_decode(
     return o
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret",
-                                             "return_residuals"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "logit_softcap", "window_size", "interpret",
+    "return_residuals"))
 def paged_prefill(
     q: jax.Array,
     cache: PagedKVCache,
     *,
     kv_starts: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+    window_size: Optional[int] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
 ):
@@ -467,6 +495,7 @@ def paged_prefill(
     batch, q_heads, q_chunk, head_dim = q.shape
     o, lse, group = _paged_attention(
         q, cache, kv_starts=kv_starts, scale=scale,
+        logit_softcap=logit_softcap, window_size=window_size,
         interpret=interpret, q_chunk=q_chunk)
     rows = group * q_chunk
     kv_heads = q_heads // group
@@ -481,7 +510,8 @@ def paged_prefill(
     return o
 
 
-def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
+def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
+                     logit_softcap=None, window_size=None):
     """Shared driver: q [batch, q_heads, q_tokens, head_dim] packed as
     [batch, kv_heads, group * q_tokens, d] rows; returns padded
     (o, lse, group)."""
@@ -527,7 +557,8 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk):
         page_rows=page_rows, d_pad=d_pad, scale=scale,
         out_dtype=q.dtype, pages_per_chunk=chunk_pages,
         precision=mxu_precision, kv_precision=kv_precision,
-        has_starts=kv_starts is not None, q_chunk=q_chunk)
+        has_starts=kv_starts is not None, q_chunk=q_chunk,
+        logit_softcap=logit_softcap, window_size=window_size)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
                    cache.lengths.astype(jnp.int32)]

@@ -144,3 +144,53 @@ def test_speculative_ragged_acceptance_budget(setup):
         params, prompt, cfg, draft_fn=draft_fn, draft_len=3,
         max_new_tokens=max_new)
     assert out.tolist() == ref.tolist()
+
+
+def test_gemma_paged_chunk_prefill_matches_dense():
+    from metal_flash_attention_tpu.models import gemma
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32)
+    params = gemma.init_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 48)),
+        jnp.int32)
+    dense_cache = serving.init_cache(cfg, 2, 64)
+    dense_logits, _ = serving.gemma_prefill(params, prompt, cfg,
+                                            dense_cache)
+
+    cache = serving.init_paged_model_cache(cfg, 2, 64)
+    logits, cache = serving.gemma_paged_chunk_step(params, prompt, cfg,
+                                                   cache)
+    err = float(jnp.max(jnp.abs(logits[:, -1] - dense_logits)))
+    assert err < 5e-2, err
+
+
+def test_gemma_speculative_draft_invariance():
+    """Gemma speculative decoding (windowed local layers + softcap
+    through the paged chunk kernel): any two drafts must produce the
+    identical sequence — the chunk path is deterministic, so this is
+    exact (the tiny random model has EXACT logit ties, so comparing
+    against the token-by-token gemma_generate path would be
+    tie-break-order dependent)."""
+    from metal_flash_attention_tpu.models import gemma
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32)
+    params = gemma.init_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 16)),
+        jnp.int32)
+
+    def reject_fn(last, buf):
+        return jnp.full((last.shape[0], 2), cfg.vocab_size - 1,
+                        jnp.int32)
+
+    def zero_fn(last, buf):
+        return jnp.zeros((last.shape[0], 2), jnp.int32)
+
+    ref = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=reject_fn, draft_len=2,
+        max_new_tokens=8, chunk_step=serving.gemma_paged_chunk_step)
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=zero_fn, draft_len=2,
+        max_new_tokens=8, chunk_step=serving.gemma_paged_chunk_step)
+    assert out.tolist() == ref.tolist()
