@@ -613,3 +613,64 @@ def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
     return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
                                    cache.page_table,
                                    cache.lengths + kc)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def sample_token(logits: jax.Array, rng: jax.Array, *,
+                 temperature: float = 1.0,
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None) -> jax.Array:
+    """Sample next tokens from [batch, vocab] logits.
+
+    temperature 0 (or top_k=1) degenerates to greedy argmax; top_k
+    keeps the k highest logits; top_p (nucleus) keeps the smallest
+    prefix of the sorted distribution with cumulative probability
+    >= top_p.  Filters compose (k first, then p)."""
+    if temperature == 0.0 or top_k == 1:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / max(temperature, 1e-6)
+    if top_k is not None:
+        kth = jnp.sort(l, axis=-1)[:, -top_k][:, None]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    if top_p is not None:
+        sorted_l = jnp.sort(l, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Smallest prefix with cumulative mass >= top_p; the cutoff
+        # logit is the last one inside that prefix.
+        keep = cum - probs < top_p
+        cutoff = jnp.max(jnp.where(keep, sorted_l, -jnp.inf), axis=-1,
+                         keepdims=True)
+        l = jnp.where(l < cutoff, -jnp.inf, l)
+    return jax.random.categorical(rng, l, axis=-1).astype(jnp.int32)
+
+
+def generate_sampled(params: dict, prompt: jax.Array,
+                     cfg: llama.LlamaConfig, *, max_new_tokens: int,
+                     rng: jax.Array, temperature: float = 1.0,
+                     top_k: Optional[int] = None,
+                     top_p: Optional[float] = None,
+                     max_seq: Optional[int] = None) -> jax.Array:
+    """Sampled generation (temperature / top-k / nucleus) — the
+    sampled counterpart of :func:`generate`."""
+    b, s = prompt.shape
+    max_seq = max_seq or (s + max_new_tokens)
+    cache = init_cache(cfg, b, max_seq)
+    logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
+        params, prompt, cfg, cache)
+    step = jax.jit(decode_step, static_argnames=("cfg",),
+                   donate_argnums=(3,))
+    tokens = [prompt]
+    rng, sub = jax.random.split(rng)
+    token = sample_token(logits, sub, temperature=temperature,
+                         top_k=top_k, top_p=top_p)
+    for _ in range(max_new_tokens):
+        tokens.append(token[:, None])
+        logits, cache = step(params, token, cfg, cache)
+        rng, sub = jax.random.split(rng)
+        token = sample_token(logits, sub, temperature=temperature,
+                             top_k=top_k, top_p=top_p)
+    return jnp.concatenate(tokens, axis=1)

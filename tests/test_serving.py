@@ -65,3 +65,34 @@ def test_quantized_decode_close_to_full(setup):
         params, jnp.argmax(lq, -1).astype(jnp.int32), cfg, qcache)
     assert bool(jnp.all(jnp.isfinite(lq2)))
     assert qcache.tail_len.tolist() == [2, 2]
+
+
+def test_sampling_degenerates_to_greedy(setup):
+    """temperature=0 and top_k=1 sampling reproduce greedy exactly;
+    finite temperature with top_k stays inside the top-k support."""
+    cfg, params, prompt = setup
+    from metal_flash_attention_tpu.models.serving import (
+        generate_sampled,
+        sample_token,
+    )
+
+    greedy = serving.generate(params, prompt, cfg, max_new_tokens=6)
+    g0 = generate_sampled(params, prompt, cfg, max_new_tokens=6,
+                          rng=jax.random.PRNGKey(0), temperature=0.0)
+    assert g0.tolist() == greedy.tolist()
+    g1 = generate_sampled(params, prompt, cfg, max_new_tokens=6,
+                          rng=jax.random.PRNGKey(0), top_k=1)
+    assert g1.tolist() == greedy.tolist()
+
+    logits = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, cfg.vocab_size)),
+        jnp.float32)
+    for trial in range(3):
+        tok = sample_token(logits, jax.random.PRNGKey(trial),
+                           temperature=0.8, top_k=5)
+        top5 = jnp.argsort(logits, axis=-1)[:, -5:]
+        for b in range(4):
+            assert int(tok[b]) in top5[b].tolist()
+    # nucleus: top_p ~ 0 keeps only the argmax
+    tok = sample_token(logits, jax.random.PRNGKey(9), top_p=1e-6)
+    assert tok.tolist() == jnp.argmax(logits, -1).tolist()
