@@ -31,12 +31,14 @@ from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.models import llama
 from metal_flash_attention_tpu.ops.flash_attention import flash_attention
 from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+from metal_flash_attention_tpu.ops.flash_attention import MIN_LANES
 from metal_flash_attention_tpu.ops.paged_attention import (
     PagedKVCache,
     paged_append_chunk,
     paged_decode,
     paged_prefill,
 )
+from metal_flash_attention_tpu.utils.shapes import round_up
 from metal_flash_attention_tpu.ops.quantization import (
     QuantizedTensor,
     quantize,
@@ -141,20 +143,9 @@ def generate(params: dict, prompt: jax.Array, cfg: llama.LlamaConfig,
              cache_dtype=None) -> jax.Array:
     """Greedy generation. prompt: int32 [batch, prompt_len]; returns
     int32 [batch, prompt_len + max_new_tokens]."""
-    b, s = prompt.shape
-    max_seq = max_seq or (s + max_new_tokens)
-    cache = init_cache(cfg, b, max_seq, dtype=cache_dtype)
-    logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
-        params, prompt, cfg, cache)
-    step = jax.jit(decode_step, static_argnames=("cfg",),
-                   donate_argnums=(3,))
-    tokens = [prompt]
-    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    for _ in range(max_new_tokens):
-        tokens.append(token[:, None])
-        logits, cache = step(params, token, cfg, cache)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jnp.concatenate(tokens, axis=1)
+    return generate_sampled(
+        params, prompt, cfg, max_new_tokens=max_new_tokens,
+        temperature=0.0, max_seq=max_seq, cache_dtype=cache_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -209,13 +200,7 @@ def decode_step_quantized(
     x = params["embed"][token][:, None, :].astype(cfg.dtype)
     k_tail_out, v_tail_out = [], []
     for li, layer in enumerate(params["layers"]):
-        h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
 
         def write(c, n):
             return jax.vmap(lambda cc, nn, pos: jax.lax.dynamic_update_slice(
@@ -271,9 +256,7 @@ def gemma_prefill(params: dict, tokens: jax.Array, cfg,
         x = gemma.mlp_block(layer, x, cfg)
     x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
-    if cfg.final_logit_softcap is not None:
-        cap = cfg.final_logit_softcap
-        logits = cap * jnp.tanh(logits / cap)
+    logits = _gemma_final_softcap(logits, cfg)
 
     k_cache = [
         jax.lax.dynamic_update_slice(c, k.astype(c.dtype), (0, 0, 0, 0))
@@ -283,6 +266,28 @@ def gemma_prefill(params: dict, tokens: jax.Array, cfg,
         for c, v in zip(cache.v, new_v)]
     return logits, KVCache(k_cache, v_cache,
                            jnp.full_like(cache.lengths, s))
+
+
+def _gemma_layer_qkv(layer: dict, x: jax.Array, cfg, cos, sin):
+    """Gemma pre-attention block (pre_attn_norm -> QKV -> rope);
+    shared by the dense decode step and the paged chunk step."""
+    from metal_flash_attention_tpu.models import gemma
+
+    b, t, _ = x.shape
+    h = gemma.rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
+    q = (h @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+    k = (h @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    v = (h @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+    q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
+    k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
+    return q, k, v.transpose(0, 2, 1, 3)
+
+
+def _gemma_final_softcap(logits: jax.Array, cfg) -> jax.Array:
+    if cfg.final_logit_softcap is not None:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
 
 def gemma_decode_step(params: dict, token: jax.Array, cfg,
@@ -300,13 +305,7 @@ def gemma_decode_step(params: dict, token: jax.Array, cfg,
     k_out, v_out = [], []
     new_lens = cache.lengths + 1
     for li, layer in enumerate(params["layers"]):
-        h = gemma.rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _gemma_layer_qkv(layer, x, cfg, cos, sin)
 
         def write(c, n):
             return jax.vmap(lambda cc, nn, pos: jax.lax.dynamic_update_slice(
@@ -330,10 +329,8 @@ def gemma_decode_step(params: dict, token: jax.Array, cfg,
         x = gemma.mlp_block(layer, x, cfg)
     x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
-    if cfg.final_logit_softcap is not None:
-        cap = cfg.final_logit_softcap
-        logits = cap * jnp.tanh(logits / cap)
-    return logits, KVCache(k_out, v_out, new_lens)
+    return _gemma_final_softcap(logits, cfg), KVCache(k_out, v_out,
+                                                      new_lens)
 
 
 def gemma_generate(params: dict, prompt: jax.Array, cfg,
@@ -349,10 +346,11 @@ def gemma_generate(params: dict, prompt: jax.Array, cfg,
                    donate_argnums=(3,))
     tokens = [prompt]
     token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    for _ in range(max_new_tokens):
+    for i in range(max_new_tokens):
         tokens.append(token[:, None])
-        logits, cache = step(params, token, cfg, cache)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if i + 1 < max_new_tokens:
+            logits, cache = step(params, token, cfg, cache)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.concatenate(tokens, axis=1)
 
 
@@ -363,7 +361,8 @@ def gemma_generate(params: dict, prompt: jax.Array, cfg,
 class PagedModelCache(NamedTuple):
     """Per-layer paged KV pools sharing one page table / length vector
     (vLLM-style serving cache; pairs with ops.paged_attention)."""
-    k: tuple           # [layers] x [num_pages, kv_heads, page_size, d]
+    k: tuple           # [layers] x [num_pages, kv_heads, page_size,
+    #                    d_lanes] (head_dim padded to 128 lanes)
     v: tuple
     page_table: jax.Array   # [batch, max_pages] int32
     lengths: jax.Array      # [batch] int32
@@ -379,7 +378,7 @@ def init_paged_model_cache(cfg: llama.LlamaConfig, batch: int,
     num_pages = batch * max_pages
     # Lanes pre-padded to the paged kernels' DMA alignment (see
     # init_paged_cache) so decode steps never copy the pool.
-    d_store = -(-cfg.head_dim // 128) * 128
+    d_store = round_up(cfg.head_dim, MIN_LANES)
     shape = (num_pages, cfg.n_kv_heads, page_size, d_store)
     table = jnp.arange(num_pages, dtype=jnp.int32).reshape(
         batch, max_pages)
@@ -467,10 +466,11 @@ def paged_generate(params: dict, prompt: jax.Array,
                    donate_argnums=(3,))
     tokens = [prompt]
     token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-    for _ in range(max_new_tokens):
+    for i in range(max_new_tokens):
         tokens.append(token[:, None])
-        logits, cache = step(params, token, cfg, cache)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if i + 1 < max_new_tokens:
+            logits, cache = step(params, token, cfg, cache)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.concatenate(tokens, axis=1)
 
 
@@ -580,15 +580,7 @@ def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
     x = x * jnp.asarray(float(cfg.dim) ** 0.5, cfg.dtype)
     k_pools, v_pools = [], []
     for li, layer in enumerate(params["layers"]):
-        h = gemma.rms_norm(x, layer["pre_attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(b, kc, cfg.n_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, kc, cfg.n_kv_heads,
-                                      cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, kc, cfg.n_kv_heads,
-                                      cfg.head_dim)
-        q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
-        k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
-        v = v.transpose(0, 2, 1, 3)
+        q, k, v = _gemma_layer_qkv(layer, x, cfg, cos, sin)
         layer_cache = paged_append_chunk(
             PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
                          cache.lengths), k, v)
@@ -607,12 +599,9 @@ def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
         x = gemma.mlp_block(layer, x, cfg)
     x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["embed"].T).astype(jnp.float32)
-    if cfg.final_logit_softcap is not None:
-        cap = cfg.final_logit_softcap
-        logits = cap * jnp.tanh(logits / cap)
-    return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
-                                   cache.page_table,
-                                   cache.lengths + kc)
+    return (_gemma_final_softcap(logits, cfg),
+            PagedModelCache(tuple(k_pools), tuple(v_pools),
+                            cache.page_table, cache.lengths + kc))
 
 
 # ---------------------------------------------------------------------------
@@ -650,27 +639,39 @@ def sample_token(logits: jax.Array, rng: jax.Array, *,
 
 def generate_sampled(params: dict, prompt: jax.Array,
                      cfg: llama.LlamaConfig, *, max_new_tokens: int,
-                     rng: jax.Array, temperature: float = 1.0,
+                     rng: Optional[jax.Array] = None,
+                     temperature: float = 1.0,
                      top_k: Optional[int] = None,
                      top_p: Optional[float] = None,
-                     max_seq: Optional[int] = None) -> jax.Array:
-    """Sampled generation (temperature / top-k / nucleus) — the
-    sampled counterpart of :func:`generate`."""
+                     max_seq: Optional[int] = None,
+                     cache_dtype=None) -> jax.Array:
+    """Generation with sampling (temperature / top-k / nucleus);
+    temperature 0 or top_k 1 is exactly :func:`generate`'s greedy
+    loop.  Runs max_new_tokens - 1 decode steps after prefill (the
+    last sampled token needs no further forward)."""
+    is_greedy = temperature == 0.0 or top_k == 1
+    assert is_greedy or rng is not None, "sampling needs an rng key"
+
+    def pick(logits):
+        nonlocal rng
+        if is_greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        rng, sub = jax.random.split(rng)
+        return sample_token(logits, sub, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+
     b, s = prompt.shape
     max_seq = max_seq or (s + max_new_tokens)
-    cache = init_cache(cfg, b, max_seq)
+    cache = init_cache(cfg, b, max_seq, dtype=cache_dtype)
     logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
         params, prompt, cfg, cache)
     step = jax.jit(decode_step, static_argnames=("cfg",),
                    donate_argnums=(3,))
     tokens = [prompt]
-    rng, sub = jax.random.split(rng)
-    token = sample_token(logits, sub, temperature=temperature,
-                         top_k=top_k, top_p=top_p)
-    for _ in range(max_new_tokens):
+    token = pick(logits)
+    for i in range(max_new_tokens):
         tokens.append(token[:, None])
-        logits, cache = step(params, token, cfg, cache)
-        rng, sub = jax.random.split(rng)
-        token = sample_token(logits, sub, temperature=temperature,
-                             top_k=top_k, top_p=top_p)
+        if i + 1 < max_new_tokens:
+            logits, cache = step(params, token, cfg, cache)
+            token = pick(logits)
     return jnp.concatenate(tokens, axis=1)

@@ -17,9 +17,12 @@ on scalar prefetch:
   as every other kernel here, so paged partials merge with unpaged
   ones (e.g. a dense bf16 tail) by the standard lse combine.
 
-Layout: pool [num_pages, kv_heads, page_size, head_dim]; page_table
-[batch, max_pages] int32 (entries beyond a sequence's live pages are
-ignored); lengths [batch] int32 total live tokens.
+Layout: pool [num_pages, kv_heads, page_size, d_lanes] where d_lanes
+is head_dim rounded up to 128 when built via init_paged_cache (the
+kernels' HBM DMA slices need 128-aligned lane extents; hand-built
+unpadded pools still work but pay an O(pool) pad copy per call);
+page_table [batch, max_pages] int32 (entries beyond a sequence's live
+pages are ignored); lengths [batch] int32 total live tokens.
 """
 
 from __future__ import annotations
@@ -53,7 +56,9 @@ from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 
 class PagedKVCache(NamedTuple):
     """A paged KV pool plus per-sequence bookkeeping."""
-    k_pages: jax.Array      # [num_pages, kv_heads, page_size, d]
+    k_pages: jax.Array      # [num_pages, kv_heads, page_size, d_lanes]
+                            # (d_lanes = head_dim padded to 128; see
+                            # module docstring)
     v_pages: jax.Array
     page_table: jax.Array   # [batch, max_pages] int32
     lengths: jax.Array      # [batch] int32
