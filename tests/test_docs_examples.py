@@ -174,11 +174,16 @@ def test_serving_guide_decode_loop():
     prompt = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 8)), jnp.int32)
     cache = serving.init_cache(cfg, 2, 12)
-    logits, cache = serving.prefill(params, prompt, cfg, cache)
+    # jit prefill and step exactly as generate() does — eager vs
+    # jitted can break bf16 argmax ties differently on TPU (the tiny
+    # random model has near-tied logits).
+    logits, cache = jax.jit(serving.prefill, static_argnames=("cfg",))(
+        params, prompt, cfg, cache)
     tok = logits.argmax(-1).astype(jnp.int32)
     toks = [tok]
+    step = jax.jit(serving.decode_step, static_argnames=("cfg",))
     for _ in range(3):
-        logits, cache = serving.decode_step(params, tok, cfg, cache)
+        logits, cache = step(params, tok, cfg, cache)
         tok = logits.argmax(-1).astype(jnp.int32)
         toks.append(tok)
     ref = serving.generate(params, prompt, cfg, max_new_tokens=4)
