@@ -1,0 +1,190 @@
+"""Continuous-batching serving engine over paged KV pools.
+
+The host-side loop a production deployment runs around the paged
+kernels (the part vLLM calls the scheduler; the reference stops at
+kernels, its host app — Draw Things — owns this layer):
+
+- requests queue up and are admitted into fixed batch *slots* as they
+  free; each admission reserves its worst-case page span from the
+  (native C++) page allocator and releases it on completion;
+- one `step()` = chunked prefill for at most one newly admitted
+  request (its prompt, through `serving.paged_chunk_step` on the
+  request's table row against the shared pools) + one batched greedy
+  `serving.paged_decode_step` for every active slot;
+- inactive slots ride along in the batched decode (their lengths are
+  pinned back afterwards, the same freeze the speculative loop uses),
+  so the decode step is one fixed-shape jit for any admission pattern.
+
+Per-request outputs are bitwise what `serving.paged_generate` produces
+for the same prompt: each batch row's attention depends only on its
+own pages/length, and the KV-chunk traversal order is
+query-chunk-split independent.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metal_flash_attention_tpu.models import llama, serving
+from metal_flash_attention_tpu.native.page_allocator import (
+    make_page_allocator,
+)
+
+
+@dataclass
+class _Request:
+    rid: int
+    prompt: np.ndarray            # [prompt_len] int32
+    max_new_tokens: int
+    out: list = field(default_factory=list)
+    slot: Optional[int] = None
+    next_token: Optional[int] = None
+
+
+class ServingEngine:
+    """Greedy continuous-batching engine for the Llama family.
+
+    >>> eng = ServingEngine(params, cfg, max_batch=4, num_pages=256)
+    >>> rid = eng.submit(prompt_tokens, max_new_tokens=64)
+    >>> while not eng.idle:
+    ...     for rid, tok in eng.step():
+    ...         ...                      # stream tokens out
+    >>> eng.result(rid)
+    """
+
+    def __init__(self, params: dict, cfg: llama.LlamaConfig, *,
+                 max_batch: int, num_pages: int, page_size: int = 128,
+                 max_seq: int = 4096):
+        self.params = params
+        self.cfg = cfg
+        self.page_size = page_size
+        self.max_pages = -(-max_seq // page_size)
+        self.alloc = make_page_allocator(num_pages=num_pages,
+                                         page_size=page_size)
+        d_store = -(-cfg.head_dim // 128) * 128
+        pool_shape = (num_pages, cfg.n_kv_heads, page_size, d_store)
+        self._k = [jnp.zeros(pool_shape, cfg.dtype)
+                   for _ in range(cfg.n_layers)]
+        self._v = [jnp.zeros(pool_shape, cfg.dtype)
+                   for _ in range(cfg.n_layers)]
+        # Inactive slots ride along in the batched decode and still
+        # write their (garbage) token KV at lengths=0; their table
+        # rows point at the allocator's null page (page 0, never
+        # handed out), so those writes can never land in a live
+        # request's pages.
+        self._table = np.zeros((max_batch, self.max_pages), np.int32)
+        self._lengths = np.zeros((max_batch,), np.int32)
+        self._slots: list[Optional[_Request]] = [None] * max_batch
+        self._queue: deque[_Request] = deque()
+        self._done: dict[int, _Request] = {}
+        self._next_rid = 0
+        self._chunk = jax.jit(serving.paged_chunk_step,
+                              static_argnames=("cfg",))
+        self._decode = jax.jit(serving.paged_decode_step,
+                               static_argnames=("cfg",))
+
+    # -- public API -------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(
+            rid, np.asarray(prompt, np.int32), max_new_tokens))
+        return rid
+
+    @property
+    def idle(self) -> bool:
+        return not self._queue and all(r is None for r in self._slots)
+
+    def result(self, rid: int) -> np.ndarray:
+        req = self._done[rid]
+        return np.concatenate([req.prompt, np.asarray(req.out, np.int32)])
+
+    def step(self) -> list[tuple[int, int]]:
+        """One engine iteration; returns the (request_id, token) pairs
+        emitted this step."""
+        emitted: list[tuple[int, int]] = []
+        self._admit(emitted)
+        if any(r is not None and r.next_token is not None
+               for r in self._slots):
+            self._decode_active(emitted)
+        self._retire()
+        return emitted
+
+    # -- internals --------------------------------------------------------
+
+    def _admit(self, emitted) -> None:
+        """Admit at most one queued request per step: reserve pages,
+        run its chunked prefill on a single-row cache view sharing the
+        global pools."""
+        free = next((i for i, r in enumerate(self._slots) if r is None),
+                    None)
+        if free is None or not self._queue:
+            return
+        req = self._queue[0]
+        budget = len(req.prompt) + req.max_new_tokens + 1
+        if budget > self.max_pages * self.page_size:
+            raise ValueError(f"request {req.rid} exceeds max_seq")
+        try:
+            pages = self.alloc.reserve(seq=free, num_tokens=budget)
+        except Exception:
+            return          # pool exhausted; retry after a retirement
+        self._queue.popleft()
+        req.slot = free
+        self._slots[free] = req
+        self._table[free, :len(pages)] = pages
+        self._lengths[free] = 0
+
+        cache = serving.PagedModelCache(
+            k=tuple(self._k), v=tuple(self._v),
+            page_table=jnp.asarray(self._table[free:free + 1]),
+            lengths=jnp.zeros((1,), jnp.int32))
+        prompt = jnp.asarray(req.prompt[None, :])
+        for i in range(0, len(req.prompt), self.page_size):
+            logits, cache = self._chunk(
+                self.params, prompt[:, i:i + self.page_size], self.cfg,
+                cache)
+        self._k = list(cache.k)
+        self._v = list(cache.v)
+        self._lengths[free] = len(req.prompt)
+        req.next_token = int(jnp.argmax(logits[0, -1]))
+        req.out.append(req.next_token)
+        emitted.append((req.rid, req.next_token))
+
+    def _decode_active(self, emitted) -> None:
+        tokens = np.zeros((len(self._slots),), np.int32)
+        for i, r in enumerate(self._slots):
+            if r is not None and r.next_token is not None:
+                tokens[i] = r.next_token
+        cache = serving.PagedModelCache(
+            k=tuple(self._k), v=tuple(self._v),
+            page_table=jnp.asarray(self._table),
+            lengths=jnp.asarray(self._lengths))
+        logits, cache = self._decode(
+            self.params, jnp.asarray(tokens), self.cfg, cache)
+        self._k = list(cache.k)
+        self._v = list(cache.v)
+        toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        for i, r in enumerate(self._slots):
+            if r is None or r.next_token is None:
+                continue   # inactive rows: lengths stay pinned
+            self._lengths[i] += 1
+            if len(r.out) < r.max_new_tokens:
+                r.next_token = int(toks[i])
+                r.out.append(r.next_token)
+                emitted.append((r.rid, r.next_token))
+
+    def _retire(self) -> None:
+        for i, r in enumerate(self._slots):
+            if r is not None and len(r.out) >= r.max_new_tokens:
+                self.alloc.release(i)
+                self._table[i] = 0
+                self._lengths[i] = 0
+                self._done[r.rid] = r
+                self._slots[i] = None
