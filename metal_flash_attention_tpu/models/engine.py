@@ -60,7 +60,8 @@ class ServingEngine:
 
     def __init__(self, params: dict, cfg: llama.LlamaConfig, *,
                  max_batch: int, num_pages: int, page_size: int = 128,
-                 max_seq: int = 4096):
+                 max_seq: int = 4096, chunk_step=None,
+                 decode_step=None):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -84,9 +85,11 @@ class ServingEngine:
         self._queue: deque[_Request] = deque()
         self._done: dict[int, _Request] = {}
         self._next_rid = 0
-        self._chunk = jax.jit(serving.paged_chunk_step,
+        # Family hooks: pass serving.gemma_paged_chunk_step /
+        # serving.gemma_paged_decode_step for the Gemma family.
+        self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",))
-        self._decode = jax.jit(serving.paged_decode_step,
+        self._decode = jax.jit(decode_step or serving.paged_decode_step,
                                static_argnames=("cfg",))
 
     # -- public API -------------------------------------------------------

@@ -675,3 +675,41 @@ def generate_sampled(params: dict, prompt: jax.Array,
             logits, cache = step(params, token, cfg, cache)
             token = pick(logits)
     return jnp.concatenate(tokens, axis=1)
+
+
+def gemma_paged_decode_step(params: dict, token: jax.Array, cfg,
+                            cache: PagedModelCache
+                            ) -> tuple[jax.Array, PagedModelCache]:
+    """One Gemma decode step over the paged cache: local layers use
+    the paged kernel's static ``window_size`` mask, logits soft-capped
+    in-kernel — the paged counterpart of :func:`gemma_decode_step`."""
+    from metal_flash_attention_tpu.models import gemma
+
+    b = token.shape[0]
+    positions = cache.lengths[:, None]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    x = x * jnp.asarray(float(cfg.dim) ** 0.5, cfg.dtype)
+    k_pools, v_pools = [], []
+    for li, layer in enumerate(params["layers"]):
+        q, k, v = _gemma_layer_qkv(layer, x, cfg, cos, sin)
+        layer_cache = paged_append_chunk(
+            PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
+                         cache.lengths), k, v)
+        k_pools.append(layer_cache.k_pages)
+        v_pools.append(layer_cache.v_pages)
+        window = (cfg.sliding_window if gemma.is_local_layer(li)
+                  else None)
+        o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache,
+                         scale=cfg.attn_scale,
+                         logit_softcap=cfg.attn_logit_softcap,
+                         window_size=window)
+        o = (o.reshape(b, 1, -1) @ layer["wo"]).astype(x.dtype)
+        o = gemma.rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
+        x = x + o
+        x = gemma.mlp_block(layer, x, cfg)
+    x = gemma.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    return (_gemma_final_softcap(logits, cfg),
+            PagedModelCache(tuple(k_pools), tuple(v_pools),
+                            cache.page_table, cache.lengths + 1))

@@ -65,3 +65,33 @@ def test_engine_interleaves_with_limited_slots(setup):
         eng.step()
     for rid, ref in zip(rids, refs):
         assert eng.result(rid).tolist() == np.asarray(ref).tolist()
+
+
+def test_gemma_engine_batch_composition_invariance():
+    """Gemma family through the engine: per-request outputs must not
+    depend on what else shares the batch (ride-along slots, staggered
+    admission) — run the same requests at max_batch=2 and max_batch=1
+    and compare."""
+    from metal_flash_attention_tpu.models import gemma, serving
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32)
+    params = gemma.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (12, 20)]
+
+    def run(max_batch):
+        eng = ServingEngine(
+            params, cfg, max_batch=max_batch, num_pages=16,
+            max_seq=128,
+            chunk_step=serving.gemma_paged_chunk_step,
+            decode_step=serving.gemma_paged_decode_step)
+        rids = [eng.submit(p, 6) for p in prompts]
+        steps = 0
+        while not eng.idle:
+            eng.step()
+            steps += 1
+            assert steps < 100
+        return [eng.result(r).tolist() for r in rids]
+
+    assert run(2) == run(1)
