@@ -1116,7 +1116,30 @@ def flash_attention(
     See :func:`flash_attention_forward` for argument semantics.  The
     backward pass uses the reference's atomic-free two-kernel split
     (dQ kernel over rows, dK/dV kernel over columns; README.md:39-46).
+
+    FP16 inputs (the reference's native low precision) compute in
+    bf16 — the TPU MXU has no fp16 datapath and Mosaic rejects f16
+    kernels; bf16 compute with fp32 accumulation sits in the same
+    mixed-precision tolerance tier — and the output is cast back to
+    fp16.
     """
+    if jnp.dtype(q.dtype) == jnp.dtype(jnp.float16):
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if isinstance(x, jax.Array)
+                          and jnp.dtype(x.dtype) == jnp.dtype(jnp.float16)
+                          else x)
+        out = flash_attention(
+            cast(q), cast(k), cast(v), mask, cast(bias), mask2,
+            q_segment_ids, kv_segment_ids, causal=causal,
+            window_size=window_size, scale=scale,
+            logit_softcap=logit_softcap, block_q=block_q,
+            block_kv=block_kv, interpret=interpret,
+            return_residuals=return_residuals)
+        if return_residuals:
+            o, lse = out
+            return o.astype(jnp.float16), lse
+        return out.astype(jnp.float16)
+
     if isinstance(k, QuantizedTensor):
         # Serving path: quantized KV caches are not differentiated
         # (the reference likewise only generates forward kernels for

@@ -251,6 +251,23 @@ def flash_decode(
         ``return_residuals`` — the merge residual for cross-chip
         KV-shard combines).
     """
+    if jnp.dtype(q.dtype) == jnp.dtype(jnp.float16):
+        # No fp16 MXU datapath on TPU: compute in bf16 (same mixed
+        # tolerance tier), cast back (see flash_attention).
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if isinstance(x, jax.Array)
+                          and jnp.dtype(x.dtype) == jnp.dtype(jnp.float16)
+                          else x)
+        out = flash_decode(
+            cast(q), cast(k), cast(v), kv_lens=kv_lens,
+            kv_starts=kv_starts, scale=scale,
+            logit_softcap=logit_softcap, block_kv=block_kv,
+            interpret=interpret, return_residuals=return_residuals)
+        if return_residuals:
+            o, lse = out
+            return o.astype(jnp.float16), lse
+        return out.astype(jnp.float16)
+
     kv_precision = None
     k_scales = v_scales = None
     nf4_direct = False

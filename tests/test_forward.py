@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from metal_flash_attention_tpu.ops.flash_attention import (
+    flash_attention,
     flash_attention_forward,
 )
 from metal_flash_attention_tpu.ops.reference import attention_reference
@@ -393,3 +394,32 @@ def test_dynamic_quantized_kv_causal(rng, force_dynamic):
                                    block_q=128, block_kv=128)
     o_ref = golden_batched(q, k, v, causal=True)[0]
     assert max_abs_err(o, o_ref) < 5e-2
+
+
+def test_fp16_inputs_compute_in_bf16(rng):
+    """FP16 (the reference's native low precision) maps onto bf16
+    compute on TPU; outputs come back fp16 within the mixed tier."""
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float16)
+    o = flash_attention(q, k, v, causal=True)
+    assert o.dtype == jnp.float16
+    ref = jax.vmap(jax.vmap(lambda a, b, c: attention_reference(
+        a, b, c, causal=True)))(q.astype(jnp.float32),
+                                k.astype(jnp.float32),
+                                v.astype(jnp.float32))
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - ref))) < 5e-2
+    g = jax.grad(lambda *a: jnp.sum(flash_attention(
+        *a, causal=True).astype(jnp.float32)))(q, k, v)
+    assert g.dtype == jnp.float16
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+    qt = jnp.asarray(rng.standard_normal((2, 4, 64)), jnp.float16)
+    kc = jnp.asarray(rng.standard_normal((2, 2, 256, 64)), jnp.float16)
+    vc = jnp.asarray(rng.standard_normal((2, 2, 256, 64)), jnp.float16)
+    od = flash_decode(qt, kc, vc,
+                      kv_lens=jnp.asarray([256, 100], jnp.int32))
+    assert od.dtype == jnp.float16
+    assert bool(jnp.all(jnp.isfinite(od.astype(jnp.float32))))
