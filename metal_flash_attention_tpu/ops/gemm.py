@@ -113,6 +113,18 @@ def gemm(
     docstring); explicit block sizes or "pallas" select the custom
     kernel.
     """
+    if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float16)
+            or jnp.dtype(b.dtype) == jnp.dtype(jnp.float16)):
+        # Mosaic rejects f16 kernels (no fp16 MXU datapath): compute
+        # in bf16 and cast back — same contract as flash_attention.
+        out16 = out_dtype or jnp.promote_types(a.dtype, b.dtype)
+        out = gemm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   None if c is None else c.astype(jnp.bfloat16),
+                   transpose_a=transpose_a, transpose_b=transpose_b,
+                   out_dtype=jnp.bfloat16, block_m=block_m,
+                   block_n=block_n, block_k=block_k,
+                   interpret=interpret, backend=backend)
+        return out.astype(out16)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m, k = (a.shape[1], a.shape[0]) if transpose_a else a.shape
