@@ -225,7 +225,7 @@ def _make_dq_kernel(
 def _make_dkv_kernel(
     *, block_q, block_kv, num_halves, num_q_blocks, q_len, kv_len, scale,
     causal, window_size, has_mask, has_mask2, has_bias, has_segments,
-    kv_pad, out_dtype, precision=None, logit_softcap=None,
+    kv_pad, out_dtype, precision=None, logit_softcap=None, group=1,
 ):
     scale_log2e = scale * LOG2E
     softcap2 = logit_softcap * LOG2E if logit_softcap else None
@@ -249,9 +249,17 @@ def _make_dkv_kernel(
         dv_acc = next(it)
 
         j = pl.program_id(2)   # kv block — the parallel dimension
-        i = pl.program_id(3)   # q block — the traversal loop
+        # Traversal enumerates (GQA group member, q block) pairs: the
+        # grid runs over *kv* heads and dK/dV accumulate across the
+        # whole group in VMEM scratch, so GQA pays no group-times fp32
+        # HBM writes + post-hoc reduction (reference design point:
+        # per-head grid dispatch, AttentionKernel+Source.swift:35-48;
+        # on TPU the group fold is free because grid steps are
+        # sequential per core anyway).
+        t = pl.program_id(3)
+        i = jax.lax.rem(t, num_q_blocks) if group > 1 else t
 
-        @pl.when(i == 0)
+        @pl.when(t == 0)
         def _init():
             dk_acc[...] = jnp.zeros_like(dk_acc)
             dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -365,7 +373,7 @@ def _make_dkv_kernel(
         else:
             body()
 
-        @pl.when(i == num_q_blocks - 1)
+        @pl.when(t == group * num_q_blocks - 1)
         def _store():
             dk_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
             dv_ref[0, 0] = dv_acc[...].astype(out_dtype)
@@ -576,8 +584,17 @@ def flash_attention_backward(
                  if red else dbias_full).astype(bias.dtype)
 
     # ---- backwardKeyValue: grid over columns --------------------------
-    # (i is the traversal dim here, so K/V block skipping clamps i.)
-    def q_index_t(b, h, j, i):
+    # Grid runs over *kv* heads; the traversal dimension t enumerates
+    # (group member, q block) pairs so dK/dV accumulate across the GQA
+    # group in VMEM scratch (group=1 degenerates to a plain q-block
+    # loop).  (i is inside the traversal dim, so K/V block skipping
+    # clamps it.)
+    def _split_t(t):
+        if group == 1:
+            return 0, t
+        return t // num_q_blocks, t % num_q_blocks
+
+    def _clamp_i(i, j):
         # Clamped into range: the map is evaluated even for blocks the
         # when-guard skips entirely.
         ii = i
@@ -594,17 +611,22 @@ def flash_attention_backward(
             lastw = (((j + 1) * block_kv - 2 + window_size - offset)
                      // block_q)
             ii = jnp.minimum(ii, jnp.clip(lastw, 0, num_q_blocks - 1))
-        return (b, h, ii, 0)
+        return ii
 
-    def q_res_index_t(b, h, j, i):
-        return (b, h, 0, q_index_t(b, h, j, i)[2])
+    def q_index_t(b, h, j, t):
+        g, i = _split_t(t)
+        return (b, h * group + g, _clamp_i(i, j), 0)
+
+    def q_res_index_t(b, h, j, t):
+        g, i = _split_t(t)
+        return (b, h * group + g, 0, _clamp_i(i, j))
 
     dkv_specs = [
         pl.BlockSpec((1, 1, block_q, d_pad), q_index_t),
         pl.BlockSpec((1, 1, block_kv, d_pad),
-                     lambda b, h, j, i, g=group: (b, h // g, j, 0)),
+                     lambda b, h, j, t: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_kv, d_pad),
-                     lambda b, h, j, i, g=group: (b, h // g, j, 0)),
+                     lambda b, h, j, t: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_q, d_pad), q_index_t),
         pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q), q_res_index_t),
         pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q), q_res_index_t),
@@ -613,11 +635,12 @@ def flash_attention_backward(
 
     def _aux_spec_t(a):
         bmod, hmod = a.shape[0], a.shape[1]
-        return pl.BlockSpec(
-            (1, 1, block_q, block_kv),
-            lambda b, h, j, i, bm=bmod, hm=hmod: (
-                b % bm, h % hm, q_index_t(b, h, j, i)[2], j),
-        )
+
+        def index(b, h, j, t, bm=bmod, hm=hmod):
+            g, i = _split_t(t)
+            return (b % bm, (h * group + g) % hm, _clamp_i(i, j), j)
+
+        return pl.BlockSpec((1, 1, block_q, block_kv), index)
 
     if has_mask:
         dkv_specs.append(_aux_spec_t(mp)); dkv_inputs.append(mp)
@@ -626,13 +649,16 @@ def flash_attention_backward(
     if has_bias:
         dkv_specs.append(_aux_spec_t(bp)); dkv_inputs.append(bp)
     if has_segments:
+        def qseg_index(b, h, j, t):
+            g, i = _split_t(t)
+            return (b, _clamp_i(i, j), 0)
+
         dkv_specs.append(pl.BlockSpec(
-            (1, block_q, qs_lanes.shape[-1]),
-            lambda b, h, j, i: (b, q_index_t(b, h, j, i)[2], 0)))
+            (1, block_q, qs_lanes.shape[-1]), qseg_index))
         dkv_inputs.append(qs_lanes)
         dkv_specs.append(pl.BlockSpec(
             (1, RESIDUAL_SUBLANES, block_kv),
-            lambda b, h, j, i: (b, 0, j)))
+            lambda b, h, j, t: (b, 0, j)))
         dkv_inputs.append(ks_sub)
 
     dkv_kernel = _make_dkv_kernel(
@@ -642,22 +668,22 @@ def flash_attention_backward(
         window_size=window_size, has_mask=has_mask, has_mask2=has_mask2,
         has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=jnp.float32,
-        precision=precision, logit_softcap=logit_softcap,
+        precision=precision, logit_softcap=logit_softcap, group=group,
     )
     dk_full, dv_full = pl.pallas_call(
         dkv_kernel,
-        grid=(batch, q_heads, num_kv_blocks, num_q_blocks),
+        grid=(batch, kv_heads, num_kv_blocks, group * num_q_blocks),
         in_specs=dkv_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, j, i: (b, h, j, 0)),
+                         lambda b, h, j, t: (b, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d_pad),
-                         lambda b, h, j, i: (b, h, j, 0)),
+                         lambda b, h, j, t: (b, h, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, q_heads, c_pad, d_pad),
+            jax.ShapeDtypeStruct((batch, kv_heads, c_pad, d_pad),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((batch, q_heads, c_pad, d_pad),
+            jax.ShapeDtypeStruct((batch, kv_heads, c_pad, d_pad),
                                  jnp.float32),
         ],
         scratch_shapes=[
@@ -671,11 +697,6 @@ def flash_attention_backward(
         interpret=interpret,
     )(*dkv_inputs)
 
-    if group > 1:
-        dk_full = dk_full.reshape(
-            batch, kv_heads, group, c_pad, d_pad).sum(axis=2)
-        dv_full = dv_full.reshape(
-            batch, kv_heads, group, c_pad, d_pad).sum(axis=2)
     dk = dk_full[:, :, :kv_len, :head_dim].astype(k.dtype)
     dv = dv_full[:, :, :kv_len, :head_dim].astype(v.dtype)
 

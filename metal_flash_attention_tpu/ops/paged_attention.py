@@ -646,28 +646,13 @@ def paged_append(cache: PagedKVCache, new_k: jax.Array,
     position must already be assigned in the page table (allocation is
     host-side bookkeeping — it is O(1) pointer assignment, exactly the
     part paging makes cheap).
+
+    One vectorized scatter over the batch (a length-1 chunk of
+    :func:`paged_append_chunk`): page ownership is per-sequence, so the
+    (page, row) pairs are unique across the batch.
     """
-    page_size = cache.page_size
-
-    def write(pages, new):
-        d = new.shape[-1]
-
-        def per_seq(pages, n, length, table):
-            page = table[length // page_size]
-            off = length % page_size
-            return pages.at[page, :, off, :d].set(
-                n.astype(pages.dtype))
-        # Sequential fold over the batch: two sequences may share no
-        # page, but the .at updates compose regardless of order.
-        for b in range(new.shape[0]):
-            pages = per_seq(pages, new[b], cache.lengths[b],
-                            cache.page_table[b])
-        return pages
-
-    k_pages = write(cache.k_pages, new_k)
-    v_pages = write(cache.v_pages, new_v)
-    return PagedKVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + 1)
+    return paged_append_chunk(cache, new_k[:, :, None, :],
+                              new_v[:, :, None, :])
 
 
 @jax.jit
