@@ -63,7 +63,17 @@ class AttentionDescriptor:
     head_dim: int = 64
     # Precision toggles (AttentionDescriptor.swift:11-27).
     input_precision: OperandPrecision = OperandPrecision.FP32
+    # Storage precision of O; None -> same as inputs.  FP32 outputs
+    # from bf16 inputs are free (fp32 accumulator, only the final
+    # store widens) — the reference's !lowPrecisionOutputs regime
+    # (AttentionDescriptor+Precisions.swift:103-164).
     output_precision: Optional[OperandPrecision] = None
+    # Store the L/D softmax residuals in bf16 instead of fp32 — the
+    # reference's lowPrecisionIntermediates (AttentionDescriptor+
+    # Precisions.swift:34-101; L=FP16/D=BF16 there, both bf16 here as
+    # TPU kernels have no fp16 datapath).  Statistics still
+    # accumulate fp32; only the HBM store narrows.
+    low_precision_intermediates: bool = False
     kv_precision: Optional[OperandPrecision] = None  # quantized KV cache
     # Masking family (AttentionDescriptor.swift:31-57; fork operands
     # mask @10, attnBias @11, attnMask2 @12, AttentionOperand.swift).

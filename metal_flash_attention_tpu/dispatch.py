@@ -53,6 +53,8 @@ def build_attention(descriptor: AttentionDescriptor) -> Callable:
         assert descriptor.has_mask2 == (mask2 is not None)
         assert descriptor.has_bias == (bias is not None)
         assert descriptor.has_segments == (q_segment_ids is not None)
+        out_dtype = (descriptor.output_precision.storage_dtype
+                     if descriptor.output_precision is not None else None)
         return flash_attention(
             q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
             causal=descriptor.causal,
@@ -61,6 +63,9 @@ def build_attention(descriptor: AttentionDescriptor) -> Callable:
             block_q=cfg.block_q,
             block_kv=cfg.block_kv,
             return_residuals=return_residuals,
+            low_precision_intermediates=(
+                descriptor.low_precision_intermediates),
+            out_dtype=out_dtype,
         )
 
     _DISPATCH_CACHE[descriptor] = dispatch

@@ -61,6 +61,34 @@ to per-step fixed costs (bq=128/bkv=512 runs at 18%).  Conclusion:
 the remaining gap is per-step guard/overlap cost that every design
 pays one way or another; don't re-explore without a Mosaic-level
 change (e.g. predicated DMA-free guard elision).
+
+D=64 wall (negative result, measured v5e 2026-08, probe checked in at
+experiments/d64_mxu_probe.py): D=64 fwd sits at ~42% because BOTH
+attention matmuls run at exactly half the MXU rate on the 128x128
+array — in-kernel VMEM-resident probes measure QK [1024,64]x[64,2048]
+at 26.8% vs 53.8% for the same shape at depth 128, and PV
+[1024,2048]x[2048,64] at 45.1% vs 90.0% at 128 output lanes (both
+exact 2x).  Packing cannot recover it:
+  (a) Q-strip packing (2x rows, [2048,64]x[64,2048]) measured 27.8% —
+      m does not fix contraction depth;
+  (b) block-diagonal head packing ([Q0|0; 0|Q1] depth 128) IS the
+      measured depth-128 shape (53.8%) but only half its output blocks
+      are useful -> 26.9% effective, identical to direct D=64; the
+      systolic array sums along depth, so keeping two heads separate
+      requires block-diagonal weights whose off-diagonal FLOPs are
+      pure waste.  Same arithmetic on the PV side (90.0% x 1/2 =
+      45.0% = the direct rate);
+  (c) GQA sharing does not help: the group shares K/V, so group-packed
+      QK is still one depth-64 contraction, and group-packed PV still
+      has 64 output lanes;
+  (d) zero-padding D to 128 doubles FLOPs at double rate — wall-time
+      wash, plus 2x VMEM/HBM for K/V.
+The kernel's 42.3% = ~half of the D=128 kernel's ~84%, i.e. it is
+already at the geometry wall.  (The Metal reference reports 86% at
+D=64 because Apple's simdgroup MMA is 8x8-granular — a platform
+difference, not a kernel deficit.)  Don't re-attack without a
+hardware-level change (e.g. an MXU mode that splits the array into
+two 64-deep halves, which Mosaic does not expose).
 """
 
 from __future__ import annotations
@@ -419,8 +447,10 @@ def _make_fwd_kernel(
                 l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
             # Residual layout: (RESIDUAL_SUBLANES, block_q) duplicated
             # sublanes to satisfy the TPU (8, 128) tile constraint.
+            # The cast honors lowPrecisionIntermediates (bf16 L).
             l_ref[0, 0] = jnp.broadcast_to(
-                (lse2 * LN2)[None, :], l_ref.shape[2:])
+                (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(
+                    l_ref.dtype)
 
     return kernel
 
@@ -688,7 +718,7 @@ def _make_fwd_kernel_dynamic(
         l_vec = l_scr[:, 0]
         lse2 = jnp.where(l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
         l_ref[0, 0] = jnp.broadcast_to(
-            (lse2 * LN2)[None, :], l_ref.shape[2:])
+            (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(l_ref.dtype)
 
     return kernel
 
@@ -710,6 +740,8 @@ def flash_attention_forward(
     block_q: Optional[int] = None,
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
+    low_precision_intermediates: bool = False,
+    out_dtype=None,
 ):
     """Fused forward attention.
 
@@ -736,6 +768,18 @@ def flash_attention_forward(
         window_size: sliding window width (reference `windowSize`,
             AttentionDescriptor.swift:57); position r attends to
             columns in (r + offset - window, r + offset].
+        low_precision_intermediates: store the L residual in bf16
+            instead of fp32 (the reference's
+            `lowPrecisionIntermediates`, AttentionDescriptor+
+            Precisions.swift:34-101, which stores L=FP16/D=BF16; TPU
+            kernels have no fp16 datapath, so both residuals use
+            bf16).  Softmax statistics still accumulate in fp32 —
+            only the HBM store narrows.  Mixed tolerance tier.
+        out_dtype: O storage dtype; default q.dtype.  An fp32 O from
+            bf16 inputs is free — the accumulator is already fp32 and
+            only the final store widens (the reference's
+            FP32-outputs rationale, AttentionDescriptor+
+            Precisions.swift:103-164).
 
     Returns:
         (o [batch, q_heads, q_len, head_dim], lse [batch, q_heads, q_len])
@@ -866,11 +910,13 @@ def flash_attention_forward(
         # Bypasses only the length gate; eligibility (operands, NF4,
         # lane alignment) still applies.
         use_dynamic = dynamic_eligible and _FORCE_DYNAMIC
+    res_dtype = (jnp.bfloat16 if low_precision_intermediates
+                 else jnp.float32)
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else q.dtype
     if use_dynamic:
         precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                      else jax.lax.Precision.DEFAULT)
-        out_dtype = q.dtype
         kernel = _make_fwd_kernel_dynamic(
             block_q=block_q, block_kv=block_kv, num_halves=num_halves,
             q_len=q_len, kv_len=kv_len,
@@ -934,7 +980,7 @@ def flash_attention_forward(
                     (batch, q_heads, r_pad, d_pad), out_dtype),
                 jax.ShapeDtypeStruct(
                     (batch, q_heads, RESIDUAL_SUBLANES, r_pad),
-                    jnp.float32),
+                    res_dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
@@ -1032,7 +1078,6 @@ def flash_attention_forward(
             (1, RESIDUAL_SUBLANES, block_kv), kvseg_index))
         inputs.append(ks_sub)
 
-    out_dtype = q.dtype
     # FP32 inputs demand true FP32 MXU passes (the reference's FP32
     # regime carries a 2e-5 tolerance contract); lower precisions use
     # the native bf16 MXU path.
@@ -1063,7 +1108,7 @@ def flash_attention_forward(
         out_shape=[
             jax.ShapeDtypeStruct((batch, q_heads, r_pad, d_pad), out_dtype),
             jax.ShapeDtypeStruct(
-                (batch, q_heads, RESIDUAL_SUBLANES, r_pad), jnp.float32),
+                (batch, q_heads, RESIDUAL_SUBLANES, r_pad), res_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
@@ -1090,6 +1135,7 @@ def flash_attention_forward(
     static_argnames=(
         "causal", "window_size", "scale", "logit_softcap",
         "block_q", "block_kv", "interpret", "return_residuals",
+        "low_precision_intermediates", "out_dtype",
     ),
 )
 def flash_attention(
@@ -1110,6 +1156,8 @@ def flash_attention(
     block_kv: Optional[int] = None,
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
+    low_precision_intermediates: bool = False,
+    out_dtype=None,
 ):
     """Public fused attention entry point (differentiable).
 
@@ -1134,11 +1182,15 @@ def flash_attention(
             window_size=window_size, scale=scale,
             logit_softcap=logit_softcap, block_q=block_q,
             block_kv=block_kv, interpret=interpret,
-            return_residuals=return_residuals)
+            return_residuals=return_residuals,
+            low_precision_intermediates=low_precision_intermediates,
+            out_dtype=out_dtype)
+        fin = (lambda x: x) if out_dtype is not None else (
+            lambda x: x.astype(jnp.float16))
         if return_residuals:
             o, lse = out
-            return o.astype(jnp.float16), lse
-        return out.astype(jnp.float16)
+            return fin(o), lse
+        return fin(out)
 
     if isinstance(k, QuantizedTensor):
         # Serving path: quantized KV caches are not differentiated
@@ -1151,6 +1203,8 @@ def flash_attention(
             logit_softcap=logit_softcap,
             block_q=block_q, block_kv=block_kv,
             interpret=interpret,
+            low_precision_intermediates=low_precision_intermediates,
+            out_dtype=out_dtype,
         )
         return (o, lse) if return_residuals else o
 
@@ -1162,6 +1216,8 @@ def flash_attention(
         q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
         causal, window_size, scale, logit_softcap,
         block_q, block_kv, interpret,
+        low_precision_intermediates,
+        jnp.dtype(out_dtype).name if out_dtype is not None else None,
     )
     if return_residuals:
         return o, lse

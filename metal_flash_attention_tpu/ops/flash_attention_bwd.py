@@ -106,12 +106,13 @@ def _make_dq_kernel(
             q = q_ref[0, 0]
             q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
             do = do_ref[0, 0].astype(jnp.float32)
-            lse2 = lse_ref[0, 0, 0] * LOG2E        # [bq] natural -> base2
+            lse2 = (lse_ref[0, 0, 0].astype(jnp.float32)
+                    * LOG2E)                       # [bq] natural -> base2
             # Fully-masked rows carry L = -inf; exp2(s - (-inf)) would
             # poison the whole tile.  Their P entries must be zero, and
             # with L neutralized to 0 they are: exp2(MASK - 0) = 0.
             lse2 = jnp.where(jnp.isfinite(lse2), lse2, 0.0)
-            d_term = d_ref[0, 0, 0]                # [bq]
+            d_term = d_ref[0, 0, 0].astype(jnp.float32)  # [bq]
 
             if any_struct:
                 delta = (jax.lax.broadcasted_iota(
@@ -339,9 +340,11 @@ def _make_dkv_kernel(
                 em = struct_mask(u) if any_struct else None
                 if em is not None:
                     s = jnp.where(em, s, MASK_VALUE)
-                lse2 = lse_ref[0, 0, 0, u * half:(u + 1) * half] * LOG2E
+                lse2 = (lse_ref[0, 0, 0, u * half:(u + 1) * half]
+                        .astype(jnp.float32) * LOG2E)
                 lse2 = jnp.where(jnp.isfinite(lse2), lse2, 0.0)
-                d_term = d_ref[0, 0, 0, u * half:(u + 1) * half]
+                d_term = (d_ref[0, 0, 0, u * half:(u + 1) * half]
+                          .astype(jnp.float32))
                 p = jnp.exp2(s - lse2[:, None])        # [half, bkv]
                 if has_mask:
                     p = p * gates[u]
@@ -388,6 +391,7 @@ def flash_attention_backward(
     q_segment_ids=None, kv_segment_ids=None, scale=None,
     logit_softcap=None,
     block_q=None, block_kv=None, interpret=None, compute_dbias=False,
+    low_precision_intermediates=False,
 ):
     """Run both backward kernels; returns (dq, dk, dv[, dbias]).
 
@@ -440,12 +444,19 @@ def flash_attention_backward(
     vp = pad_to(v, (batch, kv_heads, c_pad, d_pad))
     dop = pad_to(do, (batch, q_heads, r_pad, d_pad))
     # Residuals in the sublane-duplicated layout (see RESIDUAL_SUBLANES).
+    # Under low_precision_intermediates both L and D are stored bf16
+    # (the reference's L=FP16/D=BF16 mode, AttentionDescriptor+
+    # Precisions.swift:34-101; no fp16 TPU datapath) — D is still
+    # *computed* in fp32 above and the kernels widen on load.
+    res_dtype = (jnp.bfloat16 if low_precision_intermediates
+                 else jnp.float32)
     lsep = jnp.broadcast_to(
-        pad_to(lse.astype(jnp.float32), (batch, q_heads, r_pad))
+        pad_to(lse.astype(res_dtype), (batch, q_heads, r_pad))
         [:, :, None, :],
         (batch, q_heads, RESIDUAL_SUBLANES, r_pad))
     dp_ = jnp.broadcast_to(
-        pad_to(d_term, (batch, q_heads, r_pad))[:, :, None, :],
+        pad_to(d_term.astype(res_dtype),
+               (batch, q_heads, r_pad))[:, :, None, :],
         (batch, q_heads, RESIDUAL_SUBLANES, r_pad))
 
     has_mask = mask is not None
@@ -710,11 +721,11 @@ def flash_attention_backward(
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _flash_attention_vjp(
     q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
     causal, window_size, scale, logit_softcap, block_q, block_kv,
-    interpret,
+    interpret, low_precision_intermediates=False, out_dtype=None,
 ):
     return flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
@@ -723,12 +734,15 @@ def _flash_attention_vjp(
         logit_softcap=logit_softcap,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
+        low_precision_intermediates=low_precision_intermediates,
+        out_dtype=out_dtype,
     )
 
 
 def _vjp_fwd(q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
              causal, window_size, scale, logit_softcap, block_q,
-             block_kv, interpret):
+             block_kv, interpret, low_precision_intermediates=False,
+             out_dtype=None):
     o, lse = flash_attention_forward(
         q, k, v, causal=causal, window_size=window_size, mask=mask,
         bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
@@ -736,13 +750,16 @@ def _vjp_fwd(q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
         logit_softcap=logit_softcap,
         block_q=block_q, block_kv=block_kv,
         interpret=interpret,
+        low_precision_intermediates=low_precision_intermediates,
+        out_dtype=out_dtype,
     )
     return (o, lse), (q, k, v, mask, bias, mask2, q_segment_ids,
                       kv_segment_ids, o, lse)
 
 
 def _vjp_bwd(causal, window_size, scale, logit_softcap, block_q,
-             block_kv, interpret, residuals, cotangents):
+             block_kv, interpret, low_precision_intermediates,
+             out_dtype, residuals, cotangents):
     (q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
      o, lse) = residuals
     do, _dlse = cotangents
@@ -754,6 +771,7 @@ def _vjp_bwd(causal, window_size, scale, logit_softcap, block_q,
         logit_softcap=logit_softcap,
         block_q=None, block_kv=None,
         interpret=interpret, compute_dbias=bias is not None,
+        low_precision_intermediates=low_precision_intermediates,
     )
     if bias is not None:
         dq, dk, dv, dbias = out

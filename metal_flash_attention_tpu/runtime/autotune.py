@@ -76,6 +76,10 @@ def autotune_attention(
     records the winner in the config cache."""
     from metal_flash_attention_tpu.ops.flash_attention import (
         flash_attention,
+        flash_attention_forward,
+    )
+    from metal_flash_attention_tpu.ops.flash_attention_bwd import (
+        flash_attention_backward,
     )
 
     rng = np.random.default_rng(0)
@@ -83,7 +87,14 @@ def autotune_attention(
     k = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)), dtype)
     v = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)), dtype)
     if kernel_type != "forward":
-        do = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)), dtype)
+        # Isolate the backward kernel under tune: precompute the
+        # forward residuals once and time `flash_attention_backward`
+        # directly, consuming only the kernel's own outputs — XLA
+        # DCEs the sibling backward pallas_call (and the forward),
+        # so the ranking is not diluted by the other two kernels.
+        do = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)),
+                         dtype)
+        o0, lse0 = flash_attention_forward(q, k, v, causal=causal)
 
     results: dict[tuple[int, int], float] = {}
     for bq, bkv in candidates:
@@ -95,15 +106,19 @@ def autotune_attention(
                 o = flash_attention(
                     q, k, v, causal=causal, block_q=bq, block_kv=bkv)
                 return o[0, 0, 0, :1].astype(jnp.float32).sum()
-        else:
+        elif kernel_type == "backward_query":
             def one(q, k, v, bq=bq, bkv=bkv):
-                def loss(q_):
-                    return jnp.sum(
-                        (flash_attention(q_, k, v, causal=causal,
-                                         block_q=bq, block_kv=bkv) * do)
-                        .astype(jnp.float32))
-                g = jax.grad(loss)(q)
-                return g[0, 0, 0, :1].sum()
+                dq, dk, dv = flash_attention_backward(
+                    q, k, v, do, o0, lse0, causal=causal,
+                    block_q=bq, block_kv=bkv)
+                return dq[0, 0, 0, :1].astype(jnp.float32).sum()
+        else:  # backward_key_value
+            def one(q, k, v, bq=bq, bkv=bkv):
+                dq, dk, dv = flash_attention_backward(
+                    q, k, v, do, o0, lse0, causal=causal,
+                    block_q=bq, block_kv=bkv)
+                return (dk[0, 0, 0, :1].astype(jnp.float32).sum()
+                        + dv[0, 0, 0, :1].astype(jnp.float32).sum())
 
         try:
             results[(bq, bkv)] = _loop_timed(
@@ -118,7 +133,12 @@ def autotune_attention(
     assert results, "no autotune candidate compiled"
     winner = min(results, key=results.get)
     cache = cache or KernelConfigCache.get()
-    key = cache.attention_key(kernel_type, head_dim, dtype,
+    # The lookup side keys causal forwards as "forward_causal"
+    # (select_block_sizes table choice); store under the same name or
+    # the winner never fires.
+    table = (f"{kernel_type}_causal"
+             if causal and kernel_type == "forward" else kernel_type)
+    key = cache.attention_key(table, head_dim, dtype,
                               q_len_bucket=1 << (n - 1).bit_length())
     cache.insert(key, winner)
     return winner, results
@@ -190,6 +210,147 @@ def autotune_gemm(
     winner = min(results, key=results.get)
     cache = cache or KernelConfigCache.get()
     cache.insert(desc.cache_key(), winner)
+    return winner, results
+
+
+DECODE_CANDIDATES: tuple[int, ...] = (1024, 2048, 4096, 8192)
+PAGED_CANDIDATES: tuple[int, ...] = (4, 8, 16, 32, 64)
+
+
+def _precision_tag(precision) -> str:
+    return precision.value if precision is not None else "bf16"
+
+
+def autotune_decode(
+    *,
+    seq: int = 8192,
+    head_dim: int = 128,
+    batch: int = 8,
+    kv_heads: int = 8,
+    q_heads: int = 32,
+    precision=None,
+    candidates: Sequence[int] = DECODE_CANDIDATES,
+    iters: int = 64,
+    repeats: int = 3,
+    cache: Optional[KernelConfigCache] = None,
+    verbose: bool = False,
+) -> tuple[int, dict[int, float]]:
+    """Sweep the decode kernel's ``block_kv`` (per KV-storage
+    precision: the bf16 path is HBM-bound while quantized paths trade
+    DMA width against in-kernel cast latency).  Winner lands under the
+    ``decode_<precision>`` key that :func:`ops.flash_decode` consults."""
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    from metal_flash_attention_tpu.ops.quantization import quantize
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, head_dim)),
+                    jnp.bfloat16)
+    kf = jnp.asarray(rng.standard_normal((batch, kv_heads, seq, head_dim)),
+                     jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((batch, kv_heads, seq, head_dim)),
+                     jnp.float32)
+    if precision is None:
+        k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+    else:
+        k, v = quantize(kf, precision), quantize(vf, precision)
+    lens = jnp.full((batch,), seq, jnp.int32)
+
+    results: dict[int, float] = {}
+    for bkv in candidates:
+        if bkv > round_up(seq, 128):
+            continue
+
+        def one(q, k, v, bkv=bkv):
+            o = flash_decode(q, k, v, kv_lens=lens, block_kv=bkv)
+            return o[0, 0, :1].astype(jnp.float32).sum()
+
+        try:
+            results[bkv] = _loop_timed(one, (q, k, v), iters=iters,
+                                       repeats=repeats)
+        except Exception as e:
+            if verbose:
+                print(f"  block_kv={bkv} failed: {type(e).__name__}")
+            continue
+        if verbose:
+            print(f"  block_kv={bkv}: {results[bkv] * 1e3:.3f} ms")
+
+    assert results, "no decode candidate compiled"
+    winner = min(results, key=results.get)
+    cache = cache or KernelConfigCache.get()
+    key = cache.attention_key(
+        f"decode_{_precision_tag(precision)}", head_dim, jnp.bfloat16,
+        q_len_bucket=1 << (seq - 1).bit_length())
+    cache.insert(key, (1, winner))
+    return winner, results
+
+
+def autotune_paged(
+    *,
+    seq: int = 8192,
+    head_dim: int = 128,
+    batch: int = 8,
+    kv_heads: int = 8,
+    q_heads: int = 32,
+    page_size: int = 128,
+    precision=None,
+    candidates: Sequence[int] = PAGED_CANDIDATES,
+    iters: int = 64,
+    repeats: int = 3,
+    cache: Optional[KernelConfigCache] = None,
+    verbose: bool = False,
+) -> tuple[int, dict[int, float]]:
+    """Sweep the paged kernel's ``pages_per_chunk`` gather width per
+    KV-storage precision; winner lands under ``paged_<precision>``."""
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        PagedKVCache,
+        paged_decode,
+        quantize_paged,
+    )
+
+    rng = np.random.default_rng(0)
+    max_pages = seq // page_size
+    num_pages = batch * max_pages
+    q = jnp.asarray(rng.standard_normal((batch, q_heads, head_dim)),
+                    jnp.bfloat16)
+    kp = jnp.asarray(
+        rng.standard_normal((num_pages, kv_heads, page_size, head_dim)),
+        jnp.bfloat16)
+    vp = jnp.asarray(
+        rng.standard_normal((num_pages, kv_heads, page_size, head_dim)),
+        jnp.bfloat16)
+    perm = np.random.default_rng(7).permutation(num_pages)
+    table = jnp.asarray(perm.reshape(batch, max_pages), jnp.int32)
+    pcache = PagedKVCache(kp, vp, table,
+                          jnp.full((batch,), seq, jnp.int32))
+    if precision is not None:
+        pcache = quantize_paged(pcache, precision)
+
+    results: dict[int, float] = {}
+    for g in candidates:
+        if g > max_pages:
+            continue
+
+        def one(q, pcache, g=g):
+            o = paged_decode(q, pcache, pages_per_chunk=g)
+            return o[0, 0, :1].astype(jnp.float32).sum()
+
+        try:
+            results[g] = _loop_timed(one, (q, pcache), iters=iters,
+                                     repeats=repeats)
+        except Exception as e:
+            if verbose:
+                print(f"  pages_per_chunk={g} failed: {type(e).__name__}")
+            continue
+        if verbose:
+            print(f"  pages_per_chunk={g}: {results[g] * 1e3:.3f} ms")
+
+    assert results, "no paged candidate compiled"
+    winner = min(results, key=results.get)
+    cache = cache or KernelConfigCache.get()
+    key = cache.attention_key(
+        f"paged_{_precision_tag(precision)}", head_dim, jnp.bfloat16,
+        q_len_bucket=1 << (seq - 1).bit_length())
+    cache.insert(key, (1, winner))
     return winner, results
 
 

