@@ -97,7 +97,8 @@ class GEMMDescriptor:
         if vmem_budget is None:
             vmem_budget = DeviceContext.get().info.vmem_bytes
 
-        itemsize = max(self.precision_a.bits, self.precision_b.bits) // 8
+        itemsize = max(
+            1, max(self.precision_a.bits, self.precision_b.bits) // 8)
         m_align = 128 if self.transpose_a else 8
         # Large problems take 1024-wide tiles: at 512 tiles a 3072^3
         # bf16 GEMM is HBM-bound re-reading A/B (measured 67% vs 77%
@@ -122,8 +123,8 @@ class GEMMDescriptor:
     def _pick_block_k(self, block_m, block_n, vmem_budget=None,
                       itemsize=None) -> int:
         if itemsize is None:
-            itemsize = max(self.precision_a.bits,
-                           self.precision_b.bits) // 8
+            itemsize = max(1, max(self.precision_a.bits,
+                                  self.precision_b.bits) // 8)
         if vmem_budget is None:
             vmem_budget = DeviceContext.get().info.vmem_bytes
         block_k = max(min(512, round_up(self.k, 128)), 128)

@@ -23,9 +23,12 @@ from metal_flash_attention_tpu.ops.paged_attention import (
     quantize_paged,
 )
 from metal_flash_attention_tpu.ops.quantization import (
+    QuantizedMatrix,
     QuantizedTensor,
     dequantize,
+    dequantize_matrix,
     quantize,
+    quantize_matrix,
 )
 from metal_flash_attention_tpu.ops.reference import attention_reference
 from metal_flash_attention_tpu.ops.softmax import (
@@ -50,7 +53,10 @@ __all__ = [
     "batched_gemm",
     "quantize",
     "dequantize",
+    "quantize_matrix",
+    "dequantize_matrix",
     "QuantizedTensor",
+    "QuantizedMatrix",
     "attention_reference",
     "scaled_softmax",
     "derivative_softmax",

@@ -29,26 +29,90 @@ XLA).  The reference hand-rolled GEMM because Apple's vendor path was
 slow (`README.md` positions MFA against MPS); on TPU the honest
 equivalent is to ROUTE to `jax.lax.dot_general` by default and keep
 the Pallas kernel for what XLA does not give us — explicit block-level
-control for fused variants and a verification target for the
-descriptor/autotune machinery.  `backend="pallas"` forces the custom
-kernel; `backend="xla"` forces the native path.
+control for fused variants, in-kernel dequantization of quantized
+operands, and a verification target for the descriptor/autotune
+machinery.  `backend="pallas"` forces the custom kernel;
+`backend="xla"` forces the native path.
+
+Per-operand precision (reference truth table,
+`GEMMKernel/GEMMKernel.swift:44-103`): each operand has a *memory*
+precision (its storage dtype — any of the 7 `OperandPrecision`s, the
+quantized ones via `QuantizedMatrix`) and the pair shares a *register*
+precision (the dtype handed to the MXU).  Operands are never silently
+promoted in HBM; mixed pairs are cast per-block in VMEM.  The TPU
+register truth table:
+
+  memory pair                default registers   MXU path
+  fp32 x fp32                fp32                HIGHEST (3-pass)
+  fp32 x {bf16,quantized}    fp32                HIGHEST
+  bf16 x bf16                bf16                DEFAULT (native)
+  bf16 x quantized           bf16                DEFAULT
+  quantized x quantized      bf16                DEFAULT
+
+`register_precision="bf16"` demotes fp32 memory to bf16 registers
+(the reference's FP32-memory/half-register row; one bf16 pass instead
+of three — 3x faster, bf16 tolerance tier).  `register_precision=
+"fp32"` promotes bf16/quantized memory to fp32 registers; for bf16
+memory this is a documented no-op in accuracy (bf16 inputs are exact
+in the MXU's fp32 accumulator already — the reference promotes BF16
+to FP32 registers on pre-Apple-9 GPUs for lack of native BF16,
+`GEMMDescriptor.swift:192-208`, a constraint TPU does not have).
+
+Quantized operands dequantize per kernel block at VPU speed (INT8
+cast / FP8 bit-expansion / NF4 group unpack — the same primitives as
+the attention KV path, quantization.py) and the user scale is applied
+once on the [M, N] output, fused by XLA into the consumer; per-channel
+scales ride the non-contracted dim so they commute with the
+contraction.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
+from metal_flash_attention_tpu.ops.quantization import (
+    _FP8_MAGIC_EXP,
+    NF4_GEMM_GROUP,
+    QuantizedMatrix,
+    fp8_expand_bits,
+    nf4_unpack_groups,
+)
 from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 
 
+def _block_dequant(block, precision: OperandPrecision, contract_axis,
+                   register_dtype):
+    """Expand one VMEM operand block to the register dtype (the
+    reference's memory->register conversion, GEMMKernel.swift:44-103;
+    scales are NOT applied here — they commute to the output)."""
+    if precision is None:
+        return (block if block.dtype == register_dtype
+                else block.astype(register_dtype))
+    if precision is OperandPrecision.NF4:
+        return nf4_unpack_groups(block, contract_axis).astype(
+            register_dtype)
+    if precision in _FP8_MAGIC_EXP:
+        # Fold the power-of-two exponent rebase here (not into the
+        # output scale): the raw expansion sits ~2^-120 low, where
+        # products of small values would flush to subnormal zero.
+        return (fp8_expand_bits(block, precision)
+                * (2.0 ** _FP8_MAGIC_EXP[precision])).astype(
+                    register_dtype)
+    # INT8: exact in bf16 (|v| <= 127 < 2^8 mantissa).
+    return block.astype(jnp.float32).astype(register_dtype)
+
+
 def _make_gemm_kernel(*, num_k_blocks, load_previous_c, out_dtype,
-                      precision, dimension_numbers):
+                      precision, dimension_numbers, register_dtype,
+                      quant_a=None, quant_b=None, a_contract=1,
+                      b_contract=0):
     def kernel(*refs):
         it = iter(refs)
         a_ref = next(it)
@@ -70,8 +134,12 @@ def _make_gemm_kernel(*, num_k_blocks, load_previous_c, out_dtype,
         # dimension numbers — the MXU ingests either orientation, so
         # the reference's four transpose code paths
         # (GEMMKernel+Multiply.swift) collapse into `dimension_numbers`.
+        a_blk = _block_dequant(a_ref[...], quant_a, a_contract,
+                               register_dtype)
+        b_blk = _block_dequant(b_ref[...], quant_b, b_contract,
+                               register_dtype)
         acc[...] += jax.lax.dot_general(
-            a_ref[...], b_ref[...], dimension_numbers,
+            a_blk, b_blk, dimension_numbers,
             preferred_element_type=jnp.float32, precision=precision,
         )
 
@@ -82,15 +150,40 @@ def _make_gemm_kernel(*, num_k_blocks, load_previous_c, out_dtype,
     return kernel
 
 
+def _resolve_register_dtype(a_dtype, b_dtype, quant_a, quant_b,
+                            register_precision):
+    """The register-precision truth table (module docstring;
+    reference: GEMMKernel.swift:44-103)."""
+    if register_precision is not None:
+        if register_precision not in ("bf16", "fp32"):
+            raise ValueError(
+                f"register_precision must be 'bf16' or 'fp32', got "
+                f"{register_precision!r} (TPU registers are bf16 or "
+                f"fp32; quantized dtypes are memory-only)")
+        return (jnp.bfloat16 if register_precision == "bf16"
+                else jnp.float32)
+    fp32 = jnp.dtype(jnp.float32)
+    has_fp32 = ((quant_a is None and jnp.dtype(a_dtype) == fp32)
+                or (quant_b is None and jnp.dtype(b_dtype) == fp32))
+    return jnp.float32 if has_fp32 else jnp.bfloat16
+
+
+def _operand_info(x):
+    """(payload, quant precision | None, scale | None, logical shape)."""
+    if isinstance(x, QuantizedMatrix):
+        return x.values, x.precision, x.scale, x.shape
+    return x, None, None, x.shape
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("transpose_a", "transpose_b", "out_dtype",
                      "block_m", "block_n", "block_k", "interpret",
-                     "backend"),
+                     "backend", "register_precision"),
 )
 def gemm(
-    a: jax.Array,
-    b: jax.Array,
+    a: Union[jax.Array, QuantizedMatrix],
+    b: Union[jax.Array, QuantizedMatrix],
     c: Optional[jax.Array] = None,
     *,
     transpose_a: bool = False,
@@ -101,6 +194,7 @@ def gemm(
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     backend: str = "auto",
+    register_precision: Optional[str] = None,
 ):
     """C = op(A) op(B) [+ C_prev].
 
@@ -109,11 +203,25 @@ def gemm(
     Block sizes default to the descriptor heuristic / autotune cache
     (descriptors.gemm_descriptor.GEMMDescriptor.kernel_config).
 
+    Either operand may be a :class:`QuantizedMatrix` (INT8 / FP8 /
+    NF4 payload + per-tensor or per-channel scale from
+    ``quantize_matrix``): the payload is dequantized per kernel block
+    in VMEM and the scale applied once on the output — the reference's
+    anticipated quantized-GEMM-operand path (GEMMKernel.swift:44-103).
+    Mixed plain dtypes (fp32 A x bf16 B, ...) are likewise never
+    promoted in HBM; ``register_precision`` ("bf16" | "fp32")
+    overrides the register truth table in the module docstring.
+
     ``backend``: "auto" routes to XLA's native dot (see module
-    docstring); explicit block sizes or "pallas" select the custom
-    kernel.
+    docstring); explicit block sizes, quantized operands, or
+    "pallas" select the custom kernel.
     """
-    if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float16)
+    a, quant_a, scale_a, a_shape = _operand_info(a)
+    b, quant_b, scale_b, b_shape = _operand_info(b)
+    any_quant = quant_a is not None or quant_b is not None
+
+    if not any_quant and (
+            jnp.dtype(a.dtype) == jnp.dtype(jnp.float16)
             or jnp.dtype(b.dtype) == jnp.dtype(jnp.float16)):
         # Mosaic rejects f16 kernels (no fp16 MXU datapath): compute
         # in bf16 and cast back — same contract as flash_attention.
@@ -123,28 +231,37 @@ def gemm(
                    transpose_a=transpose_a, transpose_b=transpose_b,
                    out_dtype=jnp.bfloat16, block_m=block_m,
                    block_n=block_n, block_k=block_k,
-                   interpret=interpret, backend=backend)
+                   interpret=interpret, backend=backend,
+                   register_precision=register_precision)
         return out.astype(out16)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    m, k = (a.shape[1], a.shape[0]) if transpose_a else a.shape
-    kb, n = (b.shape[1], b.shape[0]) if transpose_b else b.shape
-    assert k == kb, (a.shape, b.shape, transpose_a, transpose_b)
+    m, k = (a_shape[1], a_shape[0]) if transpose_a else a_shape
+    kb, n = (b_shape[1], b_shape[0]) if transpose_b else b_shape
+    assert k == kb, (a_shape, b_shape, transpose_a, transpose_b)
+
+    register_dtype = _resolve_register_dtype(
+        a.dtype, b.dtype, quant_a, quant_b, register_precision)
+    # fp32 registers get true fp32 MXU passes (reference FP32
+    # contract); bf16 registers take the native single pass.
+    precision = (jax.lax.Precision.HIGHEST
+                 if register_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     explicit_blocks = (block_m is not None or block_n is not None
                        or block_k is not None)
-    if backend == "xla" or (backend == "auto" and not explicit_blocks):
+    if not any_quant and (
+            backend == "xla"
+            or (backend == "auto" and not explicit_blocks)):
         if out_dtype is None:
             out_dtype = jnp.promote_types(a.dtype, b.dtype)
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float32)
-                or jnp.dtype(b.dtype) == jnp.dtype(jnp.float32))
-            else jax.lax.Precision.DEFAULT)
         a_contract = 0 if transpose_a else 1
         b_contract = 1 if transpose_b else 0
+        # Memory != register: cast at op level (XLA fuses the convert
+        # into the dot's operand load; nothing widens in HBM).
         out = jax.lax.dot_general(
-            a, b, (((a_contract,), (b_contract,)), ((), ())),
+            a.astype(register_dtype), b.astype(register_dtype),
+            (((a_contract,), (b_contract,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         if c is not None:
             out = out + c.astype(jnp.float32)
@@ -154,13 +271,12 @@ def gemm(
         from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
             GEMMDescriptor,
         )
-        from metal_flash_attention_tpu.descriptors.precision import (
-            OperandPrecision,
-        )
         cfg = GEMMDescriptor(
             m=m, n=n, k=k,
-            precision_a=OperandPrecision.from_dtype(a.dtype),
-            precision_b=OperandPrecision.from_dtype(b.dtype),
+            precision_a=(quant_a
+                         or OperandPrecision.from_dtype(a.dtype)),
+            precision_b=(quant_b
+                         or OperandPrecision.from_dtype(b.dtype)),
             transpose_a=transpose_a, transpose_b=transpose_b,
             load_previous_c=c is not None,
         ).kernel_config()
@@ -169,13 +285,11 @@ def gemm(
         block_k = block_k or cfg.block_k
 
     if out_dtype is None:
-        out_dtype = jnp.promote_types(a.dtype, b.dtype)
-    # fp32 operands get true fp32 MXU passes (reference FP32 contract).
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if (jnp.dtype(a.dtype) == jnp.dtype(jnp.float32)
-            or jnp.dtype(b.dtype) == jnp.dtype(jnp.float32))
-        else jax.lax.Precision.DEFAULT)
+        if any_quant:
+            out_dtype = (jnp.float32 if register_dtype == jnp.float32
+                         else jnp.bfloat16)
+        else:
+            out_dtype = jnp.promote_types(a.dtype, b.dtype)
 
     # With a transposed A the M dimension is the lane axis of A's
     # blocks, so it must be 128-aligned; otherwise 8 (sublane) suffices.
@@ -183,24 +297,46 @@ def gemm(
     block_m = max(min(block_m, round_up(m, m_align)), m_align)
     block_n = max(min(block_n, round_up(n, 128)), 128)
     block_k = max(min(block_k, round_up(k, 128)), 128)
+    if OperandPrecision.NF4 in (quant_a, quant_b):
+        # NF4 payloads are group-packed (NF4_GEMM_GROUP): the kernel
+        # block must span exactly one K-group so the unpack is a
+        # single concat — quantize_matrix already padded the payload's
+        # K to a whole group, and k_pad below follows.
+        block_k = NF4_GEMM_GROUP
     m_pad, n_pad, k_pad = (round_up(m, block_m), round_up(n, block_n),
                            round_up(k, block_k))
 
-    ap = pad_to(a, (k_pad, m_pad) if transpose_a else (m_pad, k_pad))
-    bp = pad_to(b, (n_pad, k_pad) if transpose_b else (k_pad, n_pad))
+    def _payload_dims(full_k, full_other, quant, k_first):
+        """HBM extents of one operand's payload ((k, other) order as
+        stored); NF4 halves the packed K extent."""
+        pk = full_k // 2 if quant is OperandPrecision.NF4 else full_k
+        return (pk, full_other) if k_first else (full_other, pk)
+
+    a_bk = block_k // 2 if quant_a is OperandPrecision.NF4 else block_k
+    b_bk = block_k // 2 if quant_b is OperandPrecision.NF4 else block_k
+
+    ap = pad_to(a, _payload_dims(k_pad, m_pad, quant_a, transpose_a))
+    bp = pad_to(b, _payload_dims(k_pad, n_pad, quant_b, not transpose_b))
 
     if transpose_a:
-        a_spec = pl.BlockSpec((block_k, block_m), lambda i, j, kk: (kk, i))
+        a_spec = pl.BlockSpec((a_bk, block_m), lambda i, j, kk: (kk, i))
     else:
-        a_spec = pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk))
+        a_spec = pl.BlockSpec((block_m, a_bk), lambda i, j, kk: (i, kk))
     if transpose_b:
-        b_spec = pl.BlockSpec((block_n, block_k), lambda i, j, kk: (j, kk))
+        b_spec = pl.BlockSpec((block_n, b_bk), lambda i, j, kk: (j, kk))
     else:
-        b_spec = pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j))
+        b_spec = pl.BlockSpec((b_bk, block_n), lambda i, j, kk: (kk, j))
+
+    # Scales commute with the contraction (they ride the non-contracted
+    # dims), so they apply once on the output — but then a previous-C
+    # accumulation must also move out of the kernel (out = s*(AB) + C,
+    # not s*(AB + C)).
+    in_kernel_c = c is not None and not any_quant
+    kernel_out_dtype = jnp.float32 if any_quant else out_dtype
 
     in_specs = [a_spec, b_spec]
     inputs = [ap, bp]
-    if c is not None:
+    if in_kernel_c:
         cp = pad_to(c, (m_pad, n_pad))
         in_specs.append(
             pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)))
@@ -210,9 +346,12 @@ def gemm(
     a_contract = 0 if transpose_a else 1
     b_contract = 1 if transpose_b else 0
     kernel = _make_gemm_kernel(
-        num_k_blocks=num_k_blocks, load_previous_c=c is not None,
-        out_dtype=out_dtype, precision=precision,
+        num_k_blocks=num_k_blocks, load_previous_c=in_kernel_c,
+        out_dtype=kernel_out_dtype, precision=precision,
         dimension_numbers=(((a_contract,), (b_contract,)), ((), ())),
+        register_dtype=register_dtype,
+        quant_a=quant_a, quant_b=quant_b,
+        a_contract=a_contract, b_contract=b_contract,
     )
 
     out = pl.pallas_call(
@@ -220,14 +359,25 @@ def gemm(
         grid=(m_pad // block_m, n_pad // block_n, num_k_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), kernel_out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:m, :n]
+    out = out[:m, :n]
+    if any_quant:
+        if scale_a is not None:
+            out = out * (scale_a if scale_a.ndim == 0
+                         else scale_a[:, None])
+        if scale_b is not None:
+            out = out * (scale_b if scale_b.ndim == 0
+                         else scale_b[None, :])
+        if c is not None:
+            out = out + c.astype(jnp.float32)
+        out = out.astype(out_dtype)
+    return out
 
 
 def batched_gemm(a, b, **kwargs):

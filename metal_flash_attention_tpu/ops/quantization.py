@@ -196,3 +196,149 @@ def dequant_block(vals: jax.Array, scale, precision: OperandPrecision,
         return (fp8_expand_bits(vals, precision)
                 * magic_scale).astype(compute_dtype)
     return (vals.astype(jnp.float32) * scale).astype(compute_dtype)
+
+
+# --------------------------------------------------------------------------
+# Quantized GEMM operands (reference: GEMMOperandPrecision spans all 7
+# precisions for GEMM operands, GEMM/GEMMOperandPrecision.swift:20-96;
+# quantized formats explicitly anticipated in the memory!=register
+# truth table, GEMM/GEMMKernel/GEMMKernel.swift:44-103).
+# --------------------------------------------------------------------------
+
+# NF4 GEMM payloads pack the contraction dim split-half within fixed
+# 512-element K-groups: byte j of a group packs elements j (low
+# nibble) and j + 256 (high nibble).  A 512-deep kernel block then
+# covers exactly one group, and unpacking is a single concat along the
+# K axis of the stored block — no interleave relayout (the same
+# reasoning as the dense KV cache's head-dim split above, applied
+# per-block because GEMM K is tiled while head_dim never is).
+NF4_GEMM_GROUP = 512
+
+
+class QuantizedMatrix(NamedTuple):
+    """A quantized GEMM operand: payload + dequantization scale.
+
+    values: storage-dtype payload with the same layout the dense
+        operand would have (NF4: the contraction dim is nibble-packed
+        to half length, see NF4_GEMM_GROUP).
+    scale: float32 [] per-tensor scale, or a per-channel vector along
+        the operand's non-contracted dim ([M] for A, [N] for B).
+    precision: storage scheme (INT8 / FP8_E4M3 / FP8_E5M2 / NF4).
+    shape: logical (rows, cols) of the dequantized matrix — NF4 pads
+        K up to NF4_GEMM_GROUP before packing, so the payload alone
+        does not determine it.
+    """
+    values: jax.Array
+    scale: jax.Array
+    precision: OperandPrecision
+    shape: tuple
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedMatrix,
+    lambda t: ((t.values, t.scale), (t.precision, t.shape)),
+    lambda aux, children: QuantizedMatrix(*children, *aux),
+)
+
+
+def _matrix_absmax_scale(x32: jax.Array, target_max: float,
+                         channel_axis) -> jax.Array:
+    if channel_axis is None:
+        absmax = jnp.max(jnp.abs(x32))
+    else:
+        absmax = jnp.max(jnp.abs(x32), axis=1 - channel_axis)
+    return jnp.maximum(absmax, 1e-12) / target_max
+
+
+def _nf4_pack_groups(idx: jax.Array, contract_axis: int) -> jax.Array:
+    """Pack 4-bit codebook indices split-half within NF4_GEMM_GROUP-
+    element groups along ``contract_axis``."""
+    k = idx.shape[contract_axis]
+    assert k % NF4_GEMM_GROUP == 0, k
+    half = NF4_GEMM_GROUP // 2
+    if contract_axis == 1:
+        g = idx.reshape(idx.shape[0], k // NF4_GEMM_GROUP, NF4_GEMM_GROUP)
+        packed = g[..., :half] | (g[..., half:] << 4)
+        return packed.reshape(idx.shape[0], k // 2).astype(jnp.uint8)
+    g = idx.reshape(k // NF4_GEMM_GROUP, NF4_GEMM_GROUP, idx.shape[1])
+    packed = g[:, :half] | (g[:, half:] << 4)
+    return packed.reshape(k // 2, idx.shape[1]).astype(jnp.uint8)
+
+
+def nf4_unpack_groups(packed: jax.Array, contract_axis: int) -> jax.Array:
+    """Unpack one kernel block of group-packed NF4 (the block must
+    span exactly one K-group: NF4_GEMM_GROUP//2 payload bytes along
+    ``contract_axis``).  Kernel-safe: bit ops + one concat + the
+    codebook chain."""
+    p32 = packed.astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
+    idx = jnp.concatenate([lo, hi], axis=contract_axis)
+    return nf4_codebook_lookup(idx)
+
+
+def quantize_matrix(
+    x: jax.Array,
+    precision: OperandPrecision,
+    *,
+    contract_axis: int,
+    per_channel: bool = False,
+) -> QuantizedMatrix:
+    """Quantize a 2-D GEMM operand.
+
+    ``contract_axis`` is the K axis of the *stored* layout (A: 1
+    normally, 0 when transpose_a; B: 0 normally, 1 when transpose_b).
+    ``per_channel`` puts one scale per non-contracted row/column
+    (standard weight quantization) instead of one per tensor.
+    """
+    assert x.ndim == 2, x.shape
+    assert contract_axis in (0, 1)
+    x32 = x.astype(jnp.float32)
+    channel_axis = (1 - contract_axis) if per_channel else None
+    if precision is OperandPrecision.INT8:
+        scale = _matrix_absmax_scale(x32, 127.0, channel_axis)
+        s = scale if channel_axis is None else jnp.expand_dims(
+            scale, contract_axis)
+        q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+        return QuantizedMatrix(q, scale, precision, x.shape)
+    if precision in (OperandPrecision.FP8_E4M3, OperandPrecision.FP8_E5M2):
+        fmax = 448.0 if precision is OperandPrecision.FP8_E4M3 else 57344.0
+        scale = _matrix_absmax_scale(x32, fmax, channel_axis)
+        s = scale if channel_axis is None else jnp.expand_dims(
+            scale, contract_axis)
+        q = (x32 / s).astype(precision.storage_dtype)
+        return QuantizedMatrix(q, scale, precision, x.shape)
+    if precision is OperandPrecision.NF4:
+        scale = _matrix_absmax_scale(x32, 1.0, channel_axis)
+        s = scale if channel_axis is None else jnp.expand_dims(
+            scale, contract_axis)
+        normalized = x32 / s
+        # Pad K to a whole number of groups; zero quantizes exactly to
+        # codebook index 7 (0.0), so padding is inert in the product.
+        k = x.shape[contract_axis]
+        from metal_flash_attention_tpu.utils.shapes import round_up
+        k_pad = round_up(k, NF4_GEMM_GROUP)
+        if k_pad != k:
+            pad = [(0, 0), (0, 0)]
+            pad[contract_axis] = (0, k_pad - k)
+            normalized = jnp.pad(normalized, pad)
+        idx = nf4_nearest_indices(normalized)
+        packed = _nf4_pack_groups(idx, contract_axis)
+        return QuantizedMatrix(packed, scale, precision, x.shape)
+    raise ValueError(f"not a quantized precision: {precision}")
+
+
+def dequantize_matrix(t: QuantizedMatrix, *, contract_axis: int) -> jax.Array:
+    """Host-side dequantization — the golden path for testing the
+    in-kernel GEMM dequant."""
+    if t.precision is OperandPrecision.NF4:
+        vals = nf4_unpack_groups(t.values, contract_axis)
+        sl = [slice(None), slice(None)]
+        sl[contract_axis] = slice(0, t.shape[contract_axis])
+        vals = vals[tuple(sl)]
+    else:
+        vals = t.values.astype(jnp.float32)
+    s = t.scale
+    if s.ndim == 1:
+        s = jnp.expand_dims(s, contract_axis)
+    return vals * s
