@@ -202,3 +202,40 @@ def test_fuzz_windowed_decode(trial):
     o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, -1), vv)
     assert float(jnp.max(jnp.abs(o - o_ref))) < 5e-5, (
         trial, batch, q_heads, d, s, block_kv, lens, starts)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_transposed_input_layouts(trial):
+    """The migration path for the reference's per-operand transposes
+    (AttentionDescriptor.swift:71; fuzzed by
+    RectangularAttentionTest.swift:28-32): operands born in seq-major
+    [B, N, H, D] or head-dim-major [B, H, D, N] layouts reach the
+    kernel through `jnp.swapaxes` and must match the canonical run
+    bit-exactly (the relayout cost is measured separately by
+    tests/test_performance.py::test_transposed_layout_cost)."""
+    r = np.random.default_rng(500 + trial)
+    q_len = cubed_uniform(r, 8, 500)
+    kv_len = cubed_uniform(r, 8, 500)
+    d = int(r.choice([32, 64, 80, 128]))
+    heads, batch = 2, 2
+    causal = bool(r.integers(2))
+    dtype = jnp.float32 if r.integers(2) else jnp.bfloat16
+
+    def make(nrows):
+        # Born seq-major (axis order B, N, H, D) or D-major.
+        seq_major = bool(r.integers(2))
+        if seq_major:
+            raw = jnp.asarray(
+                r.standard_normal((batch, nrows, heads, d)), dtype)
+            return jnp.swapaxes(raw, 1, 2)
+        raw = jnp.asarray(
+            r.standard_normal((batch, heads, d, nrows)), dtype)
+        return jnp.swapaxes(raw, 2, 3)
+
+    q, k, v = make(q_len), make(kv_len), make(kv_len)
+    o_alt = flash_attention(q, k, v, causal=causal)
+    # Canonical contiguous copies of the same values.
+    qc, kc, vc = (jnp.asarray(np.ascontiguousarray(np.asarray(x)))
+                  for x in (q, k, v))
+    o_canon = flash_attention(qc, kc, vc, causal=causal)
+    assert max_abs_err(o_alt, o_canon) == 0.0
