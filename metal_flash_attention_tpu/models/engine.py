@@ -61,7 +61,7 @@ class ServingEngine:
     def __init__(self, params: dict, cfg: llama.LlamaConfig, *,
                  max_batch: int, num_pages: int, page_size: int = 128,
                  max_seq: int = 4096, chunk_step=None,
-                 decode_step=None):
+                 decode_step=None, admissions_per_step: int = 1):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -92,6 +92,11 @@ class ServingEngine:
         # jit, and without donation each step materializes a fresh
         # copy of every pool (VERDICT r1 weak #4) — the scatter of a
         # handful of token rows then costs O(pool) HBM per layer.
+        # Each admission runs its full prompt prefill inline, so
+        # admissions_per_step trades cold-start ramp (admit until the
+        # batch is full: max_batch) against per-step latency for
+        # already-streaming requests (admit one: the default).
+        self.admissions_per_step = admissions_per_step
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),
                               donate_argnums=(3,))
@@ -120,7 +125,9 @@ class ServingEngine:
         """One engine iteration; returns the (request_id, token) pairs
         emitted this step."""
         emitted: list[tuple[int, int]] = []
-        self._admit(emitted)
+        for _ in range(self.admissions_per_step):
+            if not self._admit(emitted):
+                break
         if any(r is not None and r.next_token is not None
                for r in self._slots):
             self._decode_active(emitted)
@@ -129,14 +136,14 @@ class ServingEngine:
 
     # -- internals --------------------------------------------------------
 
-    def _admit(self, emitted) -> None:
-        """Admit at most one queued request per step: reserve pages,
-        run its chunked prefill on a single-row cache view sharing the
-        global pools."""
+    def _admit(self, emitted) -> bool:
+        """Admit one queued request: reserve pages, run its chunked
+        prefill on a single-row cache view sharing the global pools.
+        Returns True if a request was admitted."""
         free = next((i for i, r in enumerate(self._slots) if r is None),
                     None)
         if free is None or not self._queue:
-            return
+            return False
         req = self._queue[0]
         budget = len(req.prompt) + req.max_new_tokens + 1
         if budget > self.max_pages * self.page_size:
@@ -144,7 +151,7 @@ class ServingEngine:
         try:
             pages = self.alloc.reserve(seq=free, num_tokens=budget)
         except Exception:
-            return          # pool exhausted; retry after a retirement
+            return False    # pool exhausted; retry after a retirement
         self._queue.popleft()
         req.slot = free
         self._slots[free] = req
@@ -166,6 +173,7 @@ class ServingEngine:
         req.next_token = int(jnp.argmax(logits[0, -1]))
         req.out.append(req.next_token)
         emitted.append((req.rid, req.next_token))
+        return True
 
     def _decode_active(self, emitted) -> None:
         tokens = np.zeros((len(self._slots),), np.int32)

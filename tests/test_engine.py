@@ -48,6 +48,33 @@ def test_engine_matches_paged_generate(setup):
     assert eng.alloc.free_pages == 32 - 1  # null page only
 
 
+def test_engine_multi_admission(setup):
+    """admissions_per_step=max_batch fills every slot in the first
+    step and still reproduces the standalone outputs."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (10, 17, 7)]
+    refs = [serving.paged_generate(
+        params, jnp.asarray(p[None]), cfg, max_new_tokens=6)[0]
+        for p in prompts]
+
+    eng = ServingEngine(params, cfg, max_batch=3, num_pages=32,
+                        max_seq=256, admissions_per_step=3)
+    rids = [eng.submit(p, 6) for p in prompts]
+    emitted = eng.step()
+    # all three prefills ran in the first step (each request emits its
+    # prefill token plus the first batched-decode token)
+    assert sorted(set(r for r, _ in emitted)) == sorted(rids)
+    steps = 1
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 50
+    for rid, ref in zip(rids, refs):
+        assert eng.result(rid).tolist() == np.asarray(ref).tolist()
+
+
 def test_engine_interleaves_with_limited_slots(setup):
     """max_batch=1: requests run strictly one at a time, still correct."""
     cfg, params = setup
