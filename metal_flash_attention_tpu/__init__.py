@@ -32,20 +32,29 @@ __version__ = "0.2.0"
 
 from metal_flash_attention_tpu.ops.flash_attention import flash_attention
 from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+from metal_flash_attention_tpu.ops.gemm import batched_gemm, gemm
 from metal_flash_attention_tpu.ops.quantization import (
+    QuantizedMatrix,
     QuantizedTensor,
     quantize,
+    quantize_matrix,
 )
 from metal_flash_attention_tpu.ops.reference import attention_reference
 from metal_flash_attention_tpu.descriptors.attention_descriptor import (
     AttentionDescriptor,
 )
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 
 __all__ = [
     "flash_attention",
     "flash_decode",
+    "gemm",
+    "batched_gemm",
     "quantize",
+    "quantize_matrix",
     "QuantizedTensor",
+    "QuantizedMatrix",
+    "OperandPrecision",
     "attention_reference",
     "AttentionDescriptor",
     "__version__",

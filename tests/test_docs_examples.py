@@ -54,6 +54,27 @@ def test_migration_guide_quantized_kv():
     assert o.shape == q.shape and not bool(jnp.any(jnp.isnan(o)))
 
 
+def test_migration_guide_gemm_per_operand():
+    """The GEMM per-operand-precision snippet: quantized B operand and
+    fp32-memory/bf16-register demotion through the top-level API."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((96, 160)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((160, 64)), jnp.float32)
+    qb = mfa.quantize_matrix(w, mfa.OperandPrecision.INT8,
+                             contract_axis=0, per_channel=True)
+    y = mfa.gemm(x, qb)
+    ref = x.astype(jnp.float32) @ w
+    assert float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref))) < (
+        0.02 * float(jnp.max(jnp.abs(ref))))
+
+    a = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128, 64)), jnp.float32)
+    y16 = mfa.gemm(a, b, register_precision="bf16")
+    assert y16.dtype == jnp.float32  # memory dtype preserved
+    assert float(jnp.max(jnp.abs(y16 - a @ b))) < 0.1 * float(
+        jnp.max(jnp.abs(a @ b)))
+
+
 def test_serving_guide_dense_decode():
     rng = np.random.default_rng(0)
     batch, qh, kvh, d, s = 2, 8, 2, 64, 256
