@@ -35,6 +35,22 @@ REFERENCE_HEADLINE_GINSTRS = 4400.0  # M1 Max, README.md:15
 ITERS = 128
 
 
+def retry_once(fn, *args, **kwargs):
+    """The TPU tunnel occasionally throws `remote_compile: HTTP 500`
+    on a fresh compile (infra flake, not a kernel bug — CLAUDE.md);
+    one retry after a short pause recovers it.  Only the second
+    failure is real."""
+    import time
+
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:
+        print(f"# retrying {getattr(fn, '__name__', fn)} after "
+              f"{type(e).__name__}", file=sys.stderr)
+        time.sleep(5)
+        return fn(*args, **kwargs)
+
+
 def bench_attention(n, d, heads, *, floor, causal=False, with_bwd=False,
                     dtype=jnp.bfloat16, kv_heads=None, lpi=False):
     from metal_flash_attention_tpu.ops.flash_attention import (
@@ -306,9 +322,11 @@ def main():
     for d in (64, 128, 256):
         n = 4096 if d <= 128 else 2048
         heads = 8
-        fwd = bench_attention(n, d, heads, floor=floor)
-        fwd_bwd = bench_attention(n, d, heads, floor=floor, with_bwd=True)
-        caus = bench_attention(n, d, heads, floor=floor, causal=True)
+        fwd = retry_once(bench_attention, n, d, heads, floor=floor)
+        fwd_bwd = retry_once(bench_attention, n, d, heads, floor=floor,
+                             with_bwd=True)
+        caus = retry_once(bench_attention, n, d, heads, floor=floor,
+                          causal=True)
         rows.append((d, n, fwd, fwd / roof, fwd_bwd, fwd_bwd / roof,
                      caus, caus / roof))
         if d == 128:
@@ -323,7 +341,8 @@ def main():
     # kernel (grid designs pay ~59% of a live step per skipped block;
     # the dynamic loop never visits them).
     try:
-        c16 = bench_attention(16384, 128, 2, floor=floor, causal=True)
+        c16 = retry_once(bench_attention, 16384, 128, 2, floor=floor,
+                         causal=True)
         print(f"# causal long-context D=128 N=16384: {c16:8.0f} GINSTRS/s"
               f" ({c16 / roof:5.1%} util)", file=err)
     except Exception as e:
@@ -332,8 +351,8 @@ def main():
     # GQA training shape (32q/8kv): exercises the kv-head-grid dKV
     # kernel with in-VMEM group accumulation.
     try:
-        gq = bench_attention(4096, 128, 32, kv_heads=8, floor=floor,
-                             with_bwd=True)
+        gq = retry_once(bench_attention, 4096, 128, 32, kv_heads=8,
+                        floor=floor, with_bwd=True)
         print(f"# GQA fwd+bwd 32q/8kv D=128 N=4096: {gq:8.0f} GINSTRS/s"
               f" ({gq / roof:5.1%} util)", file=err)
     except Exception as e:
@@ -344,8 +363,8 @@ def main():
     # AttentionDescriptor+Precisions.swift:34-101).
     try:
         base = next(r[4] for r in rows if r[0] == 128)
-        lp = bench_attention(4096, 128, 8, floor=floor, with_bwd=True,
-                             lpi=True)
+        lp = retry_once(bench_attention, 4096, 128, 8, floor=floor,
+                        with_bwd=True, lpi=True)
         print(f"# fwd+bwd D=128 N=4096 lowPrecisionIntermediates: "
               f"{lp:8.0f} GINSTRS/s ({lp / roof:5.1%} util; "
               f"{lp / base - 1:+.1%} vs fp32 residuals)", file=err)
@@ -359,7 +378,7 @@ def main():
                        ("fp8_e4m3", OperandPrecision.FP8_E4M3),
                        ("nf4", OperandPrecision.NF4)):
         try:
-            toks = bench_decode(floor=floor, precision=prec)
+            toks = retry_once(bench_decode, floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
@@ -371,13 +390,13 @@ def main():
                        ("fp8_e4m3", OperandPrecision.FP8_E4M3),
                        ("nf4", OperandPrecision.NF4)):
         try:
-            toks = bench_paged(floor=floor, precision=prec)
+            toks = retry_once(bench_paged, floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
 
     try:
-        eng_tok, raw_tok = bench_engine(floor=floor)
+        eng_tok, raw_tok = retry_once(bench_engine, floor=floor)
         print(f"# engine decode (4L d2048, b=4): {eng_tok:7.0f} tok/s "
               f"vs raw paged_decode_step {raw_tok:7.0f} "
               f"({eng_tok / max(raw_tok, 1e-9):5.1%})", file=err)
@@ -386,7 +405,7 @@ def main():
 
     for size in (512, 1489, 4096):
         try:
-            fl = bench_gemm(size, floor=floor)
+            fl = retry_once(bench_gemm, size, floor=floor)
             print(f"# gemm bf16 {size}^3: {fl / 1e12:7.1f} TFLOPS "
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
         except Exception as e:
@@ -395,7 +414,8 @@ def main():
     for name, prec in (("int8", OperandPrecision.INT8),
                        ("nf4", OperandPrecision.NF4)):
         try:
-            fl = bench_gemm_quantized(4096, floor=floor, precision=prec)
+            fl = retry_once(bench_gemm_quantized, 4096, floor=floor,
+                            precision=prec)
             print(f"# gemm bf16 x {name}-B 4096^3 (per-channel scales): "
                   f"{fl / 1e12:7.1f} TFLOPS "
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
@@ -404,7 +424,7 @@ def main():
                   file=err)
 
     try:
-        toks, mfu = bench_train_step(floor=floor)
+        toks, mfu = retry_once(bench_train_step, floor=floor)
         print(f"# llama train (4L d2048 n4096, 1 chip): {toks:7.0f} "
               f"tok/s ({mfu:5.1%} param-MFU)", file=err)
     except Exception as e:

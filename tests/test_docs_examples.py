@@ -27,6 +27,10 @@ def test_readme_quickstart_shapes():
     o = mfa.flash_attention(q, k, v, q_segment_ids=ids,
                             kv_segment_ids=ids, causal=True)
     assert o.shape == q.shape
+    # precision-mode lines
+    o = mfa.flash_attention(q, k, v, low_precision_intermediates=True)
+    o32 = mfa.flash_attention(q, k, v, out_dtype=jnp.float32)
+    assert o.dtype == jnp.bfloat16 and o32.dtype == jnp.float32
 
 
 def test_migration_guide_dispatch_facade():
