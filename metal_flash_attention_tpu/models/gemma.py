@@ -183,13 +183,16 @@ def mlp_block(layer: dict, x: jax.Array, cfg: GemmaConfig) -> jax.Array:
     return x + o
 
 
-def forward(
+def forward_hidden(
     params: dict, tokens: jax.Array, cfg: GemmaConfig,
     *, positions: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     mesh: Optional[Mesh] = None,
 ):
-    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    """tokens [batch, seq] -> (final-norm hidden states, kv_caches) —
+    everything up to (not including) the tied lm head, so the training
+    loss can fuse head GEMM + softcap into the chunked cross-entropy
+    (models/losses.py)."""
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
@@ -207,7 +210,12 @@ def forward(
                                 kv_cache=cache, mesh=mesh)
         new_caches.append(kv)
         x = mlp_block(layer, x, cfg)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return rms_norm(x, params["final_norm"], cfg.norm_eps), new_caches
+
+
+def forward(params: dict, tokens: jax.Array, cfg: GemmaConfig, **kw):
+    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    x, new_caches = forward_hidden(params, tokens, cfg, **kw)
     logits = (x @ params["embed"].T).astype(jnp.float32)  # tied head
     if cfg.final_logit_softcap is not None:
         cap = cfg.final_logit_softcap
@@ -216,9 +224,24 @@ def forward(
 
 
 def loss_fn(params: dict, tokens: jax.Array, cfg: GemmaConfig,
-            **kw) -> jax.Array:
-    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
+            *, fused_ce: bool = True, **kw) -> jax.Array:
+    """Next-token cross-entropy.  The default fuses the tied-head GEMM
+    and the final-logit softcap into the chunked online-logsumexp loss
+    (models/losses.py) — the [batch*seq, vocab] logits never
+    materialize.  ``fused_ce=False`` keeps the naive path (equal to
+    fp32 tolerance; tests/test_gemma.py)."""
     targets = tokens[:, 1:]
+    if fused_ce:
+        from metal_flash_attention_tpu.models.losses import (
+            fused_cross_entropy,
+        )
+        x, _ = forward_hidden(params, tokens[:, :-1], cfg, **kw)
+        nll = fused_cross_entropy(
+            x.reshape(-1, x.shape[-1]), params["embed"].T,
+            targets.reshape(-1).astype(jnp.int32), 8192,
+            cfg.final_logit_softcap)
+        return jnp.mean(nll)
+    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)

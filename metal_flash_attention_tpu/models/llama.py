@@ -210,14 +210,18 @@ def mlp_block(layer: dict, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
     return x + ((gate * up).astype(x.dtype) @ layer["w_down"]).astype(x.dtype)
 
 
-def forward(
+def forward_hidden(
     params: dict, tokens: jax.Array, cfg: LlamaConfig,
     *, positions: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     block_q: Optional[int] = None, block_kv: Optional[int] = None,
     mesh: Optional[Mesh] = None,
 ):
-    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    """tokens [batch, seq] -> (final-norm hidden states [batch, seq,
+    dim], kv_caches) — everything up to (not including) the lm head,
+    so the training loss can fuse the head GEMM into a chunked
+    cross-entropy (models/losses.py) instead of materializing
+    [batch, seq, vocab] logits."""
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
@@ -231,17 +235,40 @@ def forward(
             block_q=block_q, block_kv=block_kv, mesh=mesh)
         new_caches.append(kv)
         x = mlp_block(layer, x, cfg)
-    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return rms_norm(x, params["final_norm"], cfg.norm_eps), new_caches
+
+
+def forward(
+    params: dict, tokens: jax.Array, cfg: LlamaConfig, **kw,
+):
+    """tokens [batch, seq] -> (logits [batch, seq, vocab], kv_caches)."""
+    x, new_caches = forward_hidden(params, tokens, cfg, **kw)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, new_caches
 
 
 def loss_fn(params: dict, tokens: jax.Array, cfg: LlamaConfig,
-            **kw) -> jax.Array:
+            *, fused_ce: bool = True, **kw) -> jax.Array:
     """Next-token cross-entropy (the training objective for the
-    full-train-step dryrun)."""
-    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
+    full-train-step dryrun).
+
+    ``fused_ce`` (default) runs the lm-head GEMM inside the chunked
+    online-logsumexp loss (models/losses.py): the [batch*seq, vocab]
+    logits are never materialized, which is the memory that dominates
+    a training step at production vocab sizes.  ``fused_ce=False``
+    keeps the naive materialized path (the two agree to fp32
+    tolerance; tests/test_losses.py, tests/test_model.py)."""
     targets = tokens[:, 1:]
+    if fused_ce:
+        from metal_flash_attention_tpu.models.losses import (
+            fused_cross_entropy,
+        )
+        x, _ = forward_hidden(params, tokens[:, :-1], cfg, **kw)
+        nll = fused_cross_entropy(
+            x.reshape(-1, x.shape[-1]), params["lm_head"],
+            targets.reshape(-1).astype(jnp.int32))
+        return jnp.mean(nll)
+    logits, _ = forward(params, tokens[:, :-1], cfg, **kw)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)

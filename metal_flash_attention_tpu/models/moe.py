@@ -209,11 +209,12 @@ def param_shardings(cfg: MoEConfig, mesh: Mesh) -> dict:
     }
 
 
-def forward(params: dict, tokens: jax.Array, cfg: MoEConfig,
-            *, positions: Optional[jax.Array] = None,
-            kv_caches: Optional[list] = None,
-            mesh: Optional[Mesh] = None):
-    """tokens [batch, seq] -> (logits, kv_caches, aux_loss)."""
+def forward_hidden(params: dict, tokens: jax.Array, cfg: MoEConfig,
+                   *, positions: Optional[jax.Array] = None,
+                   kv_caches: Optional[list] = None,
+                   mesh: Optional[Mesh] = None):
+    """tokens [batch, seq] -> (final-norm hidden states, kv_caches,
+    aux_loss) — everything up to (not including) the lm head."""
     base_cfg = _base_cfg(cfg)
     b, s = tokens.shape
     if positions is None:
@@ -232,14 +233,33 @@ def forward(params: dict, tokens: jax.Array, cfg: MoEConfig,
         x = x + y
         aux_total = aux_total + aux
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return x, new_caches, aux_total / cfg.n_layers
+
+
+def forward(params: dict, tokens: jax.Array, cfg: MoEConfig, **kw):
+    """tokens [batch, seq] -> (logits, kv_caches, aux_loss)."""
+    x, new_caches, aux = forward_hidden(params, tokens, cfg, **kw)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, new_caches, aux_total / cfg.n_layers
+    return logits, new_caches, aux
 
 
 def loss_fn(params: dict, tokens: jax.Array, cfg: MoEConfig,
-            **kw) -> jax.Array:
-    logits, _, aux = forward(params, tokens[:, :-1], cfg, **kw)
+            *, fused_ce: bool = True, **kw) -> jax.Array:
+    """Next-token cross-entropy + load-balancing aux loss.  The
+    default fuses the lm-head GEMM into the chunked online-logsumexp
+    loss (models/losses.py; fused_ce=False keeps the materialized
+    path — equal to fp32 tolerance, tests/test_moe.py)."""
     targets = tokens[:, 1:]
+    if fused_ce:
+        from metal_flash_attention_tpu.models.losses import (
+            fused_cross_entropy,
+        )
+        x, _, aux = forward_hidden(params, tokens[:, :-1], cfg, **kw)
+        nll = fused_cross_entropy(
+            x.reshape(-1, x.shape[-1]), params["lm_head"],
+            targets.reshape(-1).astype(jnp.int32))
+        return jnp.mean(nll) + cfg.aux_loss_weight * aux
+    logits, _, aux = forward(params, tokens[:, :-1], cfg, **kw)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll) + cfg.aux_loss_weight * aux

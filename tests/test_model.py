@@ -48,6 +48,26 @@ def test_decode_matches_prefill(setup):
     assert err < 2e-2, err  # bf16 accumulation differences
 
 
+def test_loss_fused_ce_matches_naive(setup):
+    """The default fused chunked-CE loss equals the materialized
+    log-softmax loss (same bf16 forward, fp32 loss math)."""
+    cfg, params = setup
+    tokens = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (2, 48)),
+        jnp.int32)
+    fused = llama.loss_fn(params, tokens, cfg)
+    naive = llama.loss_fn(params, tokens, cfg, fused_ce=False)
+    assert abs(float(fused) - float(naive)) < 1e-4, (fused, naive)
+
+    g_f = jax.grad(lambda p: llama.loss_fn(p, tokens, cfg))(params)
+    g_n = jax.grad(lambda p: llama.loss_fn(p, tokens, cfg,
+                                           fused_ce=False))(params)
+    err = max(float(jnp.max(jnp.abs(
+        a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_n)))
+    assert err < 2e-2, err  # bf16 param-grad storage rounding
+
+
 def test_train_step(setup):
     cfg, params = setup
     tokens = jnp.asarray(

@@ -59,6 +59,9 @@ def test_moe_model_forward_and_train(rng):
     assert logits.shape == (2, 64, cfg.vocab_size)
     assert bool(jnp.isfinite(logits).all()) and bool(jnp.isfinite(aux))
     l0 = moe.loss_fn(params, tokens, cfg)
+    # Fused chunked-CE equals the materialized-logits objective.
+    l0_naive = moe.loss_fn(params, tokens, cfg, fused_ce=False)
+    assert abs(float(l0) - float(l0_naive)) < 1e-4, (l0, l0_naive)
     p = params
     for _ in range(4):
         p, l1 = moe.train_step(p, tokens, cfg, lr=1e-2)
