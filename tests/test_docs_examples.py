@@ -170,6 +170,40 @@ def test_parallelism_guide_pipeline():
     assert out.shape == xs.shape
 
 
+def test_training_guide_stack(tmp_path):
+    """docs/training.md: loss flag, optimizer step, data loader, and
+    checkpoint round-trip compose."""
+    import optax
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.models.optim import make_train_step
+    from metal_flash_attention_tpu.utils import checkpoint, data
+
+    cfg = llama.LlamaConfig.tiny(n_layers=1)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    data.write_shard(str(tmp_path / "s.bin"),
+                     rng.integers(0, cfg.vocab_size, 4000)
+                     .astype(np.uint16))
+    loader = data.TokenLoader([str(tmp_path / "s.bin")], batch=2,
+                              seq_len=16, seed=0)
+    init, step = make_train_step(
+        lambda p, b: llama.loss_fn(p, b, cfg), optax.adamw(3e-4))
+    state = init(params)
+    for batch in loader.take(2):
+        params, state, loss = step(params, state, batch)
+    assert bool(jnp.isfinite(loss))
+
+    tree = {"params": params, "opt": state, "data": loader.state()}
+    checkpoint.save(str(tmp_path / "ck"), tree, step=2)
+    restored = checkpoint.restore(
+        checkpoint.latest(str(tmp_path / "ck")), like=tree)
+    assert restored["data"] == loader.state()
+    a = jax.tree.leaves(restored["params"])[0]
+    b = jax.tree.leaves(params)[0]
+    assert a.dtype == b.dtype and bool(jnp.all(a == b))
+
+
 def test_performance_guide_profiling_api():
     from metal_flash_attention_tpu.utils.profiling import (
         RooflineReport,
