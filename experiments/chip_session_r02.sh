@@ -32,5 +32,8 @@ python -m metal_flash_attention_tpu.runtime autotune \
 # compiler-visible chains).
 PYTHONPATH=. python experiments/small_gemm_probe.py
 
+# Real-hardware perf regression guards.
+MFA_TPU_TEST_REAL=1 python -m pytest tests/test_performance.py -q
+
 # Full bench with the tuned cache in place.
 python bench.py

@@ -39,6 +39,7 @@ from metal_flash_attention_tpu.ops.quantization import (
     quantize,
     quantize_matrix,
 )
+from metal_flash_attention_tpu.compat import dot_product_attention
 from metal_flash_attention_tpu.ops.reference import attention_reference
 from metal_flash_attention_tpu.descriptors.attention_descriptor import (
     AttentionDescriptor,
@@ -48,6 +49,7 @@ from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 __all__ = [
     "flash_attention",
     "flash_decode",
+    "dot_product_attention",
     "gemm",
     "batched_gemm",
     "quantize",
