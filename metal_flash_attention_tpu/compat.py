@@ -17,10 +17,20 @@ XLA where possible) and maps the argument semantics:
     bias / mask          -> additive bias / boolean mask kwargs
     is_causal            -> causal=True
     scale                -> scale (default 1/sqrt(D) matches)
-    local_window_size    -> window_size (int, or (left, 0) tuple —
-                            the kernels implement causal windows)
-    key_value_seq_lengths-> kv_lens-style padding via in-kernel mask
-    query_seq_lengths    -> padding mask on the query axis
+    local_window_size    -> window_size; an int means (w, w) exactly
+                            as in jax.nn (the right half is moot under
+                            is_causal, unsupported otherwise)
+    key_value_seq_lengths-> in-kernel segment-id compare (O(N) inputs)
+    query_seq_lengths    -> same, on the query axis
+
+Alignment: jax.nn builds its causal/window masks TOP-LEFT aligned
+(query position i vs key position j directly), while the kernels'
+causal traversal is bottom-right aligned (offset = kv_len - q_len,
+the decode convention).  The two coincide when T == S — the fused
+fast path.  For T != S the adapter reproduces jax.nn's semantics
+exactly through an explicit [1, 1, T, S] mask (the only place the
+O(T*S) materialization is accepted; rectangular causal cross-
+attention is rare and small).
 
 Everything else (GQA by q_heads % kv_heads == 0, bf16-in/fp32-
 accumulate, differentiability) matches `jax.nn` semantics because the
@@ -63,19 +73,42 @@ def dot_product_attention(
     k = key.transpose(0, 2, 1, 3)
     v = value.transpose(0, 2, 1, 3)
 
-    window = None
+    left = None
     if local_window_size is not None:
         if isinstance(local_window_size, (tuple, list)):
-            left, right = local_window_size
-            if right != 0:
-                raise NotImplementedError(
-                    "right-looking windows are not supported; use "
-                    "local_window_size=(left, 0) or an explicit mask")
+            left, right = (int(x) for x in local_window_size)
         else:
-            left = local_window_size
-        # jax.nn's `left` counts keys BEFORE the diagonal; the kernel's
-        # window_size spans the whole visible run including self.
-        window = int(left) + 1
+            # jax.nn treats an int w as the symmetric window (w, w).
+            left = right = int(local_window_size)
+        if right != 0 and not is_causal:
+            raise NotImplementedError(
+                "right-looking windows are only supported under "
+                "is_causal (which masks the right half anyway); use "
+                "an explicit mask otherwise")
+
+    aligned = t == s
+    causal_kw = is_causal and aligned
+    window_kw = None
+    if left is not None and aligned:
+        # jax.nn's `left` counts keys BEFORE the diagonal; the
+        # kernel's window_size spans the visible run including self.
+        window_kw = left + 1
+
+    align_mask = None
+    if not aligned and (is_causal or left is not None):
+        # jax.nn masks are top-left aligned; the kernel's causal
+        # offset is bottom-right.  Reproduce jax.nn exactly (see
+        # module docstring).
+        rows = jnp.arange(t)[:, None]
+        cols = jnp.arange(s)[None, :]
+        keep = jnp.ones((t, s), bool)
+        if is_causal:
+            keep &= cols <= rows
+        if left is not None:
+            keep &= cols >= rows - left
+            if not is_causal:
+                keep &= cols <= rows  # right half was 0 (asserted)
+        align_mask = keep[None, None]
 
     # Length annotations map onto the kernels' segment-id path: O(N)
     # inputs compared in-kernel (never an O(T*S) external mask).
@@ -97,13 +130,21 @@ def dot_product_attention(
 
     if mask is not None and mask.dtype != jnp.bool_:
         mask = mask.astype(jnp.bool_)
+    # The kernel's two mask slots AND-combine; mask2 requires mask.
+    mask2 = None
+    if align_mask is not None:
+        if mask is None:
+            mask = align_mask
+        else:
+            mask2 = align_mask
 
     o = flash_attention(
         q, k, v,
-        causal=is_causal,
+        causal=causal_kw,
         mask=mask,
+        mask2=mask2,
         bias=bias,
-        window_size=window,
+        window_size=window_kw,
         scale=scale,
         q_segment_ids=q_seg,
         kv_segment_ids=kv_seg,

@@ -96,6 +96,7 @@ class ServingEngine:
         # admissions_per_step trades cold-start ramp (admit until the
         # batch is full: max_batch) against per-step latency for
         # already-streaming requests (admit one: the default).
+        assert admissions_per_step >= 1, admissions_per_step
         self.admissions_per_step = admissions_per_step
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),

@@ -62,12 +62,21 @@ def _chunk_logits(x, w_c, col0, chunk, vocab, softcap):
     return jnp.where(live, logits, -jnp.inf), jnp.where(live, deriv, 0.0)
 
 
-def _split_w(w, chunk):
-    """[d, V] -> [n_chunks, d, chunk] (zero-padded tail chunk)."""
+def _pad_w(w, chunk):
+    """Pad [d, V] columns up to a chunk multiple.  The scan steps then
+    `dynamic_slice` panels out of this one array — no [n_chunks, d,
+    chunk] stack is ever materialized (stacking would copy the entire
+    lm head twice per step, fwd and bwd, defeating the memory point
+    of the fused loss).  When chunk | V this is the original array."""
     d, vocab = w.shape
     v_pad = round_up(vocab, chunk)
-    wp = jnp.pad(w, ((0, 0), (0, v_pad - vocab)))
-    return wp.reshape(d, v_pad // chunk, chunk).transpose(1, 0, 2)
+    if v_pad == vocab:
+        return w, v_pad // chunk
+    return jnp.pad(w, ((0, 0), (0, v_pad - vocab))), v_pad // chunk
+
+
+def _w_panel(wp, c, chunk):
+    return jax.lax.dynamic_slice_in_dim(wp, c * chunk, chunk, axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -88,11 +97,11 @@ def fused_cross_entropy(x, w, targets, chunk: int = 8192,
 def _fce_fwd(x, w, targets, chunk, softcap):
     t, d = x.shape
     vocab = w.shape[1]
-    w_chunks = _split_w(w, chunk)
+    wp, n_chunks = _pad_w(w, chunk)
 
-    def step(carry, args):
+    def step(carry, c):
         m, s, tl = carry
-        w_c, c = args
+        w_c = _w_panel(wp, c, chunk)
         logits, _ = _chunk_logits(x, w_c, c * chunk, chunk, vocab,
                                   softcap)
         m_new = jnp.maximum(m, logits.max(axis=1))
@@ -110,8 +119,7 @@ def _fce_fwd(x, w, targets, chunk, softcap):
     init = (jnp.full((t,), -jnp.inf, jnp.float32),
             jnp.zeros((t,), jnp.float32),
             jnp.zeros((t,), jnp.float32))
-    (m, s, tl), _ = jax.lax.scan(
-        step, init, (w_chunks, jnp.arange(w_chunks.shape[0])))
+    (m, s, tl), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
     lse = m + jnp.log(s)
     return lse - tl, (x, w, targets, lse)
 
@@ -120,10 +128,10 @@ def _fce_bwd(chunk, softcap, res, g):
     x, w, targets, lse = res
     t, d = x.shape
     vocab = w.shape[1]
-    w_chunks = _split_w(w, chunk)
+    wp, n_chunks = _pad_w(w, chunk)
 
-    def step(dx, args):
-        w_c, c = args
+    def step(dx, c):
+        w_c = _w_panel(wp, c, chunk)
         logits, deriv = _chunk_logits(x, w_c, c * chunk, chunk, vocab,
                                       softcap)
         p = jnp.exp(logits - lse[:, None])          # softmax, recomputed
@@ -144,8 +152,9 @@ def _fce_bwd(chunk, softcap, res, g):
         return dx, dw_c
 
     dx, dw_chunks = jax.lax.scan(
-        step, jnp.zeros((t, d), jnp.float32),
-        (w_chunks, jnp.arange(w_chunks.shape[0])))
+        step, jnp.zeros((t, d), jnp.float32), jnp.arange(n_chunks))
+    # [n_chunks, d, chunk] -> [d, V]: dW itself must materialize (it
+    # IS the gradient); this relayout is its only full-size copy.
     dw = dw_chunks.transpose(1, 0, 2).reshape(d, -1)[:, :vocab]
     return dx.astype(x.dtype), dw.astype(w.dtype), None
 

@@ -913,6 +913,11 @@ def flash_attention_forward(
     res_dtype = (jnp.bfloat16 if low_precision_intermediates
                  else jnp.float32)
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else q.dtype
+    # Mosaic rejects f16 kernel outputs just like f16 inputs: store
+    # bf16 from the kernel, cast on the way out.
+    f16_out = out_dtype == jnp.dtype(jnp.float16)
+    if f16_out:
+        out_dtype = jnp.dtype(jnp.bfloat16)
     if use_dynamic:
         precision = (jax.lax.Precision.HIGHEST
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
@@ -996,7 +1001,10 @@ def flash_attention_forward(
             ),
             interpret=interpret,
         )(*inputs)
-        return o[:, :, :q_len, :head_dim], lse[:, :, 0, :q_len]
+        o = o[:, :, :q_len, :head_dim]
+        if f16_out:
+            o = o.astype(jnp.float16)
+        return o, lse[:, :, 0, :q_len]
 
     def kv_index(b, h, i, j, g=group):
         # Clamp skipped blocks onto the visible range so block-level
@@ -1126,8 +1134,12 @@ def flash_attention_forward(
         half = head_dim // 2
         o = jnp.concatenate(
             [o[..., :half], o[..., d_kv:d_kv + half]], axis=-1)
-        return o[:, :, :q_len, :], lse[:, :, 0, :q_len]
-    return o[:, :, :q_len, :head_dim], lse[:, :, 0, :q_len]
+        o = o[:, :, :q_len, :]
+    else:
+        o = o[:, :, :q_len, :head_dim]
+    if f16_out:
+        o = o.astype(jnp.float16)
+    return o, lse[:, :, 0, :q_len]
 
 
 @functools.partial(

@@ -409,8 +409,21 @@ def flash_attention_backward(
     if block_q is None or block_kv is None:
         # Both backward kernels share one (block_q, block_kv) pair so
         # they can share residual padding; take the dQ-kernel row.
-        tq, tkv = select_block_sizes("backward_query", head_dim, q.dtype,
-                                     seq_len=q_len)
+        # A causal-sweep autotune winner lives under the "_causal"
+        # suffixed key (never overwriting the dense winner); probe it
+        # first, then fall back to the shared static rows.
+        tq = tkv = None
+        if causal:
+            from metal_flash_attention_tpu.runtime.autotune import (
+                lookup_tuned_blocks,
+            )
+            tuned = lookup_tuned_blocks("backward_query_causal",
+                                        head_dim, q.dtype, q_len)
+            if tuned is not None:
+                tq, tkv = tuned
+        if tq is None:
+            tq, tkv = select_block_sizes("backward_query", head_dim,
+                                         q.dtype, seq_len=q_len)
         block_q = block_q or tq
         block_kv = block_kv or tkv
 

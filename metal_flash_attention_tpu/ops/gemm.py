@@ -220,20 +220,35 @@ def gemm(
     b, quant_b, scale_b, b_shape = _operand_info(b)
     any_quant = quant_a is not None or quant_b is not None
 
-    if not any_quant and (
-            jnp.dtype(a.dtype) == jnp.dtype(jnp.float16)
-            or jnp.dtype(b.dtype) == jnp.dtype(jnp.float16)):
-        # Mosaic rejects f16 kernels (no fp16 MXU datapath): compute
-        # in bf16 and cast back — same contract as flash_attention.
-        out16 = out_dtype or jnp.promote_types(a.dtype, b.dtype)
-        out = gemm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+    f16 = jnp.dtype(jnp.float16)
+    a_f16 = quant_a is None and jnp.dtype(a.dtype) == f16
+    b_f16 = quant_b is None and jnp.dtype(b.dtype) == f16
+    if a_f16 or b_f16:
+        # Mosaic rejects f16 kernels (no fp16 MXU datapath): recast
+        # any dense f16 operand to bf16 here and run the normal path
+        # — same contract as flash_attention.  A QuantizedMatrix
+        # partner is untouched (its payload is integer-typed).  The
+        # kernel itself must also never see an f16 *output*, so the
+        # default out dtype becomes the fp16 the caller stored only
+        # via the final cast below.
+        out16 = out_dtype
+        if out16 is None and not any_quant:
+            out16 = jnp.promote_types(a.dtype, b.dtype)
+        if a_f16:
+            a = a.astype(jnp.bfloat16)
+        if b_f16:
+            b = b.astype(jnp.bfloat16)
+        out = gemm(a if quant_a is None
+                   else QuantizedMatrix(a, scale_a, quant_a, a_shape),
+                   b if quant_b is None
+                   else QuantizedMatrix(b, scale_b, quant_b, b_shape),
                    None if c is None else c.astype(jnp.bfloat16),
                    transpose_a=transpose_a, transpose_b=transpose_b,
-                   out_dtype=jnp.bfloat16, block_m=block_m,
-                   block_n=block_n, block_k=block_k,
+                   out_dtype=None if out16 is None else jnp.bfloat16,
+                   block_m=block_m, block_n=block_n, block_k=block_k,
                    interpret=interpret, backend=backend,
                    register_precision=register_precision)
-        return out.astype(out16)
+        return out if out16 is None else out.astype(out16)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     m, k = (a_shape[1], a_shape[0]) if transpose_a else a_shape

@@ -560,9 +560,12 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
                      if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                      else jax.lax.Precision.DEFAULT)
     chunk_pages = pages_per_chunk
-    if chunk_pages is None:
+    if chunk_pages is None and rows_pad == GROUP_PAD:
         # Measured autotune winner per KV-storage precision, else the
-        # documented static default (VERDICT r1 weak #8).
+        # documented static default (VERDICT r1 weak #8).  Winners are
+        # tuned at decode shapes (rows_pad == GROUP_PAD); prefill's
+        # wide score tiles have different VMEM geometry and stay on
+        # the analytic default.
         from metal_flash_attention_tpu.runtime.autotune import (
             lookup_tuned_blocks,
         )
@@ -576,8 +579,16 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
                                        rows_pad=rows_pad,
                                        page_size=page_size)
     else:
-        # Clamp an override/winner the same way the default is.
+        # Clamp an override/winner exactly like the default path: the
+        # table-covering shrink AND the VMEM score-tile budget (a
+        # decode-tuned winner reused at prefill rows_pad would
+        # otherwise blow the two [rows_pad, chunk*page] f32 tiles
+        # past VMEM).
         while chunk_pages > 1 and chunk_pages // 2 >= max_pages:
+            chunk_pages //= 2
+        budget = 8 * 1024 * 1024
+        while (chunk_pages > 1
+               and 2 * rows_pad * chunk_pages * page_size * 4 > budget):
             chunk_pages //= 2
     kernel = _make_paged_kernel(
         group=group, group_pad=rows_pad, page_size=page_size,

@@ -124,11 +124,7 @@ def nf4_unpack(packed: jax.Array) -> jax.Array:
     relayouts.
     """
     # Bit ops in int32: Mosaic has no direct uint8 -> float32 cast.
-    p32 = packed.astype(jnp.int32)
-    lo = p32 & 0x0F
-    hi = (p32 >> 4) & 0x0F
-    idx = jnp.concatenate([lo, hi], axis=-1)
-    return nf4_codebook_lookup(idx)
+    return nf4_unpack_groups(packed, contract_axis=-1)
 
 
 def nf4_codebook_lookup(idx: jax.Array) -> jax.Array:

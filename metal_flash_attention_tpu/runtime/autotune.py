@@ -133,11 +133,12 @@ def autotune_attention(
     assert results, "no autotune candidate compiled"
     winner = min(results, key=results.get)
     cache = cache or KernelConfigCache.get()
-    # The lookup side keys causal forwards as "forward_causal"
-    # (select_block_sizes table choice); store under the same name or
-    # the winner never fires.
-    table = (f"{kernel_type}_causal"
-             if causal and kernel_type == "forward" else kernel_type)
+    # The lookup side keys causal kernels with a "_causal" suffix
+    # (select_block_sizes table choice for forward; the backward
+    # dispatch probes the suffixed key first) — store under the same
+    # name or the winner never fires, and a causal sweep must never
+    # overwrite the non-causal winner.
+    table = f"{kernel_type}_causal" if causal else kernel_type
     key = cache.attention_key(table, head_dim, dtype,
                               q_len_bucket=1 << (n - 1).bit_length())
     cache.insert(key, winner)

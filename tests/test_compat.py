@@ -75,8 +75,42 @@ def test_local_window():
     want = jax.nn.dot_product_attention(q, k, v, is_causal=True,
                                         local_window_size=(16, 0))
     _close(got, want)
+    # int window is symmetric (w, w) in jax.nn; under is_causal the
+    # right half is masked anyway, so it must be accepted and match.
+    got = dot_product_attention(q, k, v, is_causal=True,
+                                local_window_size=8)
+    want = jax.nn.dot_product_attention(q, k, v, is_causal=True,
+                                        local_window_size=8)
+    _close(got, want)
     with pytest.raises(NotImplementedError):
         dot_product_attention(q, k, v, local_window_size=(8, 8))
+    with pytest.raises(NotImplementedError):
+        dot_product_attention(q, k, v, local_window_size=8)
+
+
+def test_rectangular_causal_top_left_alignment():
+    """T != S: jax.nn's causal/window masks are top-left aligned
+    (query i attends keys <= i), not the decode-style bottom-right
+    offset — the adapter must reproduce jax.nn exactly."""
+    q, k, v = _mk(2, 16, 64, 2, 2, 16, seed=7)
+    _close(dot_product_attention(q, k, v, is_causal=True),
+           jax.nn.dot_product_attention(q, k, v, is_causal=True))
+    # T > S as well.
+    q2, k2, v2 = _mk(1, 48, 32, 2, 2, 16, seed=8)
+    _close(dot_product_attention(q2, k2, v2, is_causal=True),
+           jax.nn.dot_product_attention(q2, k2, v2, is_causal=True))
+    # Rectangular causal window, and with a user mask on top.
+    _close(
+        dot_product_attention(q, k, v, is_causal=True,
+                              local_window_size=(8, 0)),
+        jax.nn.dot_product_attention(q, k, v, is_causal=True,
+                                     local_window_size=(8, 0)))
+    rng = np.random.default_rng(9)
+    mask = jnp.asarray(rng.random((2, 1, 16, 64)) > 0.2)
+    _close(
+        dot_product_attention(q, k, v, mask=mask, is_causal=True),
+        jax.nn.dot_product_attention(q, k, v, mask=mask,
+                                     is_causal=True))
 
 
 def test_differentiable_matches():

@@ -102,6 +102,26 @@ def test_quantized_b_matches_host_dequant(rng, precision):
     assert max_abs_err(out, expected) < tol
 
 
+def test_fp16_dense_with_quantized_partner(rng):
+    """An f16 dense operand paired with a QuantizedMatrix must recast
+    to bf16 before the kernel (Mosaic rejects f16 kernels) and still
+    match the host dequant golden."""
+    m, k, n = 64, 256, 128
+    a16 = jnp.asarray(rng.standard_normal((m, k)), jnp.float16)
+    b32 = rng.standard_normal((k, n)).astype(np.float32)
+    qb = quantize_matrix(jnp.asarray(b32), OperandPrecision.INT8,
+                         contract_axis=0)
+    out = gemm(a16, qb)
+    b_vals = _deq_noscale(qb, contract_axis=0)
+    expected = _scale_cols(
+        _golden(np.asarray(a16, np.float32), b_vals), qb)
+    tol = 2e-2 * float(np.abs(expected).max() + 1.0)
+    assert max_abs_err(out, expected) < tol
+    # Explicit f16 output request: honored by a post-kernel cast.
+    out16 = gemm(a16, qb, out_dtype=jnp.float16)
+    assert out16.dtype == jnp.float16
+
+
 @pytest.mark.parametrize("precision",
                          [OperandPrecision.INT8, OperandPrecision.NF4])
 def test_quantized_a_operand(rng, precision):

@@ -129,6 +129,21 @@ def test_out_dtype_fp16_inputs():
     assert o.dtype == jnp.float32
 
 
+def test_out_dtype_fp16_store(rng):
+    """An f16 output request must never reach the kernel's out_shape
+    (Mosaic rejects f16): the kernel stores bf16 and the cast happens
+    outside.  Checked from bf16 AND fp16 inputs."""
+    q, k, v = _qkv(rng, 128, 128, 64, jnp.bfloat16)
+    o = flash_attention(q, k, v, out_dtype=jnp.float16)
+    assert o.dtype == jnp.float16
+    o_ref = flash_attention(q, k, v)
+    assert max_abs_err(o.astype(jnp.float32),
+                       o_ref.astype(jnp.float32)) < 1e-2
+    q16, k16, v16 = _qkv(rng, 128, 128, 64, jnp.float16)
+    o2 = flash_attention(q16, k16, v16, out_dtype=jnp.float16)
+    assert o2.dtype == jnp.float16
+
+
 def test_descriptor_wiring(rng):
     q, k, v = _qkv(rng, 128, 128, 64, jnp.bfloat16)
     desc = AttentionDescriptor(
