@@ -7,13 +7,19 @@ kernels, its host app — Draw Things — owns this layer):
 - requests queue up and are admitted into fixed batch *slots* as they
   free; each admission reserves its worst-case page span from the
   (native C++) page allocator and releases it on completion;
-- one `step()` = chunked prefill for at most one newly admitted
-  request (its prompt, through `serving.paged_chunk_step` on the
-  request's table row against the shared pools) + one batched greedy
+- prefill is CHUNKED ACROSS STEPS (vLLM's chunked-prefill
+  scheduling): each `step()` advances every mid-prefill request by
+  one page-sized chunk (`serving.paged_chunk_step` on the request's
+  own table row against the shared pools), so a long prompt never
+  stalls the decode cadence of already-streaming requests;
+- one `step()` = admissions (page reservation only) + one prefill
+  chunk per prefilling slot + one batched greedy
   `serving.paged_decode_step` for every active slot;
-- inactive slots ride along in the batched decode (their lengths are
-  pinned back afterwards, the same freeze the speculative loop uses),
-  so the decode step is one fixed-shape jit for any admission pattern.
+- slots without an emitted token yet (free, or still prefilling) ride
+  along in the batched decode against the allocator's null page —
+  a mid-prefill slot's DECODE-visible table row stays null until its
+  prefill completes, so the ride-along garbage token write can never
+  land in freshly prefilled pages.
 
 Per-request outputs are bitwise what `serving.paged_generate` produces
 for the same prompt: each batch row's attention depends only on its
@@ -45,6 +51,8 @@ class _Request:
     out: list = field(default_factory=list)
     slot: Optional[int] = None
     next_token: Optional[int] = None
+    pages: Optional[np.ndarray] = None   # reserved page ids
+    prefill_pos: int = 0                 # tokens prefilled so far
 
 
 class ServingEngine:
@@ -92,10 +100,10 @@ class ServingEngine:
         # jit, and without donation each step materializes a fresh
         # copy of every pool (VERDICT r1 weak #4) — the scatter of a
         # handful of token rows then costs O(pool) HBM per layer.
-        # Each admission runs its full prompt prefill inline, so
-        # admissions_per_step trades cold-start ramp (admit until the
-        # batch is full: max_batch) against per-step latency for
-        # already-streaming requests (admit one: the default).
+        # Admission only reserves pages (prefill is chunked across
+        # steps); admissions_per_step bounds how many queued requests
+        # join the prefill rotation per step — each mid-prefill
+        # request then costs one chunk of work per step.
         assert admissions_per_step >= 1, admissions_per_step
         self.admissions_per_step = admissions_per_step
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
@@ -127,8 +135,9 @@ class ServingEngine:
         emitted this step."""
         emitted: list[tuple[int, int]] = []
         for _ in range(self.admissions_per_step):
-            if not self._admit(emitted):
+            if not self._admit():
                 break
+        self._prefill_step(emitted)
         if any(r is not None and r.next_token is not None
                for r in self._slots):
             self._decode_active(emitted)
@@ -137,10 +146,11 @@ class ServingEngine:
 
     # -- internals --------------------------------------------------------
 
-    def _admit(self, emitted) -> bool:
-        """Admit one queued request: reserve pages, run its chunked
-        prefill on a single-row cache view sharing the global pools.
-        Returns True if a request was admitted."""
+    def _admit(self) -> bool:
+        """Admit one queued request into a free slot: reserve its page
+        span and queue it for chunked prefill.  The slot's
+        decode-visible table row stays on the null page until the
+        prefill completes.  Returns True if a request was admitted."""
         free = next((i for i, r in enumerate(self._slots) if r is None),
                     None)
         if free is None or not self._queue:
@@ -155,26 +165,38 @@ class ServingEngine:
             return False    # pool exhausted; retry after a retirement
         self._queue.popleft()
         req.slot = free
+        req.pages = np.zeros((self.max_pages,), np.int32)
+        req.pages[:len(pages)] = pages
+        req.prefill_pos = 0
         self._slots[free] = req
-        self._table[free, :len(pages)] = pages
-        self._lengths[free] = 0
-
-        cache = serving.PagedModelCache(
-            k=tuple(self._k), v=tuple(self._v),
-            page_table=jnp.asarray(self._table[free:free + 1]),
-            lengths=jnp.zeros((1,), jnp.int32))
-        prompt = jnp.asarray(req.prompt[None, :])
-        for i in range(0, len(req.prompt), self.page_size):
-            logits, cache = self._chunk(
-                self.params, prompt[:, i:i + self.page_size], self.cfg,
-                cache)
-        self._k = list(cache.k)
-        self._v = list(cache.v)
-        self._lengths[free] = len(req.prompt)
-        req.next_token = int(jnp.argmax(logits[0, -1]))
-        req.out.append(req.next_token)
-        emitted.append((req.rid, req.next_token))
         return True
+
+    def _prefill_step(self, emitted) -> None:
+        """Advance every mid-prefill request by one page-sized chunk
+        (chunked-prefill scheduling: per-step work is bounded, decode
+        cadence of streaming requests stays flat).  On the final chunk
+        the slot goes live: table row installed, first token emitted."""
+        for i, req in enumerate(self._slots):
+            if req is None or req.next_token is not None:
+                continue
+            pos = req.prefill_pos
+            chunk = jnp.asarray(
+                req.prompt[None, pos:pos + self.page_size])
+            cache = serving.PagedModelCache(
+                k=tuple(self._k), v=tuple(self._v),
+                page_table=jnp.asarray(req.pages[None, :]),
+                lengths=jnp.full((1,), pos, jnp.int32))
+            logits, cache = self._chunk(self.params, chunk, self.cfg,
+                                        cache)
+            self._k = list(cache.k)
+            self._v = list(cache.v)
+            req.prefill_pos = pos + chunk.shape[1]
+            if req.prefill_pos >= len(req.prompt):
+                self._table[i] = req.pages
+                self._lengths[i] = len(req.prompt)
+                req.next_token = int(jnp.argmax(logits[0, -1]))
+                req.out.append(req.next_token)
+                emitted.append((req.rid, req.next_token))
 
     def _decode_active(self, emitted) -> None:
         tokens = np.zeros((len(self._slots),), np.int32)

@@ -75,6 +75,44 @@ def test_engine_multi_admission(setup):
         assert eng.result(rid).tolist() == np.asarray(ref).tolist()
 
 
+def test_engine_chunked_prefill_interleaves(setup):
+    """A long prompt prefills one chunk per step WITHOUT stalling the
+    decode cadence of an already-streaming request, and both requests
+    still reproduce their standalone outputs."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    page = 16
+    short = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int32)
+    long_p = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
+    ref_short = serving.paged_generate(
+        params, jnp.asarray(short[None]), cfg, max_new_tokens=12,
+        page_size=page)[0]
+    ref_long = serving.paged_generate(
+        params, jnp.asarray(long_p[None]), cfg, max_new_tokens=4,
+        page_size=page)[0]
+
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                        page_size=page, max_seq=128)
+    rid_s = eng.submit(short, 12)
+    first = eng.step()           # short: 1-chunk prefill + decode
+    assert {r for r, _ in first} == {rid_s}
+    rid_l = eng.submit(long_p, 4)
+    # 40-token prompt at page_size=16 -> 3 chunks -> first two steps
+    # emit nothing for the long request, but the short one must keep
+    # streaming exactly one decode token per step throughout.
+    for expect_long in (False, False, True):
+        out = eng.step()
+        by_rid = {}
+        for r, t in out:
+            by_rid.setdefault(r, []).append(t)
+        assert len(by_rid.get(rid_s, [])) == 1, out
+        assert (rid_l in by_rid) == expect_long, out
+    while not eng.idle:
+        eng.step()
+    assert eng.result(rid_s).tolist() == np.asarray(ref_short).tolist()
+    assert eng.result(rid_l).tolist() == np.asarray(ref_long).tolist()
+
+
 def test_engine_interleaves_with_limited_slots(setup):
     """max_batch=1: requests run strictly one at a time, still correct."""
     cfg, params = setup
