@@ -43,11 +43,26 @@ from metal_flash_attention_tpu.native.page_allocator import (
 )
 
 
+def _sample_rows(logits, base_key, rids, idxs, temp, top_k, top_p):
+    """Batched per-row sampling with request-addressed randomness:
+    row key = fold_in(fold_in(seed, rid), token_index).  Keyed by the
+    REQUEST, not the slot, so a request's sampled stream is invariant
+    to batch composition (what else is running, which slot it landed
+    in) — the same determinism contract the greedy path has."""
+    keys = jax.vmap(lambda r, t: jax.random.fold_in(
+        jax.random.fold_in(base_key, r), t))(rids, idxs)
+    return serving.sample_token_per_row(logits, keys, temp, top_k,
+                                        top_p)
+
+
 @dataclass
 class _Request:
     rid: int
     prompt: np.ndarray            # [prompt_len] int32
     max_new_tokens: int
+    temperature: float = 0.0      # 0 = greedy
+    top_k: int = 0                # 0 = off
+    top_p: float = 1.0            # 1 = off
     out: list = field(default_factory=list)
     slot: Optional[int] = None
     next_token: Optional[int] = None
@@ -69,7 +84,8 @@ class ServingEngine:
     def __init__(self, params: dict, cfg: llama.LlamaConfig, *,
                  max_batch: int, num_pages: int, page_size: int = 128,
                  max_seq: int = 4096, chunk_step=None,
-                 decode_step=None, admissions_per_step: int = 1):
+                 decode_step=None, admissions_per_step: int = 1,
+                 seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -112,14 +128,24 @@ class ServingEngine:
         self._decode = jax.jit(decode_step or serving.paged_decode_step,
                                static_argnames=("cfg",),
                                donate_argnums=(3,))
+        self._base_key = jax.random.PRNGKey(seed)
+        self._sample = jax.jit(_sample_rows)
 
     # -- public API -------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int) -> int:
+    def submit(self, prompt, max_new_tokens: int, *,
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 1.0) -> int:
+        """Queue a request.  temperature=0 (default) decodes greedily;
+        temperature>0 samples with optional top-k / nucleus filters.
+        Sampled streams are a pure function of (engine seed, request
+        id, token index) — batch composition cannot perturb them."""
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(_Request(
-            rid, np.asarray(prompt, np.int32), max_new_tokens))
+            rid, np.asarray(prompt, np.int32), max_new_tokens,
+            temperature=float(temperature), top_k=int(top_k),
+            top_p=float(top_p)))
         return rid
 
     @property
@@ -194,7 +220,17 @@ class ServingEngine:
             if req.prefill_pos >= len(req.prompt):
                 self._table[i] = req.pages
                 self._lengths[i] = len(req.prompt)
-                req.next_token = int(jnp.argmax(logits[0, -1]))
+                if req.temperature > 0.0:
+                    tok = int(self._sample(
+                        logits[:, -1], self._base_key,
+                        jnp.full((1,), req.rid, jnp.int32),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.full((1,), req.temperature, jnp.float32),
+                        jnp.full((1,), req.top_k, jnp.int32),
+                        jnp.full((1,), req.top_p, jnp.float32))[0])
+                else:
+                    tok = int(jnp.argmax(logits[0, -1]))
+                req.next_token = tok
                 req.out.append(req.next_token)
                 emitted.append((req.rid, req.next_token))
 
@@ -211,7 +247,29 @@ class ServingEngine:
             self.params, jnp.asarray(tokens), self.cfg, cache)
         self._k = list(cache.k)
         self._v = list(cache.v)
-        toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        active = [r for r in self._slots
+                  if r is not None and r.next_token is not None]
+        if any(r.temperature > 0.0 for r in active):
+            n = len(self._slots)
+            temp = np.zeros((n,), np.float32)
+            top_k = np.zeros((n,), np.int32)
+            top_p = np.ones((n,), np.float32)
+            rids = np.zeros((n,), np.int32)
+            idxs = np.zeros((n,), np.int32)
+            for i, r in enumerate(self._slots):
+                if r is None or r.next_token is None:
+                    continue
+                temp[i] = r.temperature
+                top_k[i] = r.top_k
+                top_p[i] = r.top_p
+                rids[i] = r.rid
+                idxs[i] = len(r.out)    # index of the token emitted now
+            toks = np.asarray(self._sample(
+                logits, self._base_key, jnp.asarray(rids),
+                jnp.asarray(idxs), jnp.asarray(temp),
+                jnp.asarray(top_k), jnp.asarray(top_p)), np.int32)
+        else:
+            toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for i, r in enumerate(self._slots):
             if r is None or r.next_token is None:
                 continue   # inactive rows: lengths stay pinned

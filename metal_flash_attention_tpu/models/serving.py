@@ -637,6 +637,53 @@ def sample_token(logits: jax.Array, rng: jax.Array, *,
     return jax.random.categorical(rng, l, axis=-1).astype(jnp.int32)
 
 
+def sample_token_per_row(logits: jax.Array, keys: jax.Array,
+                         temperature: jax.Array, top_k: jax.Array,
+                         top_p: jax.Array) -> jax.Array:
+    """Per-ROW sampling parameters over [batch, vocab] logits — the
+    continuous-batching shape, where every slot carries its own
+    (temperature, top_k, top_p) and the whole batch must still be ONE
+    fixed-shape jit (a host loop of per-row sampler calls would pay
+    the dispatch round-trip per slot).
+
+    ``keys`` is a [batch] stack of PRNG keys (one per row, vmapped
+    categorical) — the engine derives each row's key from the
+    *request* id and *token* index, never from the slot index, so a
+    sampled stream is a pure function of (seed, rid, position) and
+    batch composition cannot perturb it (same invariance the greedy
+    path gets for free; tested by batch-composition tests).
+
+    temperature[b] == 0 selects greedy for that row; top_k[b] == 0
+    and top_p[b] >= 1 disable the respective filter.  Filter
+    semantics match :func:`sample_token` row-wise."""
+    b, vocab = logits.shape
+    greedy = temperature <= 0.0
+    l = logits.astype(jnp.float32) / jnp.maximum(
+        temperature, 1e-6)[:, None]
+    sorted_l = jnp.sort(l, axis=-1)[:, ::-1]
+    # top-k: cutoff at the k-th highest (row-wise k; 0 -> keep all).
+    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, vocab) - 1,
+                     0, vocab - 1)
+    kth = jnp.take_along_axis(sorted_l, k_idx[:, None], axis=1)
+    l = jnp.where(l < kth, -jnp.inf, l)
+    # nucleus: smallest sorted prefix with cumulative mass >= top_p.
+    # Composes AFTER top-k (same k-then-p order as sample_token): the
+    # sorted view is masked past position k so the nucleus mass is
+    # computed over the k survivors, not the raw distribution.
+    pos = jnp.arange(vocab)[None, :]
+    sorted_kept = jnp.where(pos <= k_idx[:, None], sorted_l, -jnp.inf)
+    probs = jax.nn.softmax(sorted_kept, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p[:, None]
+    cutoff = jnp.max(jnp.where(keep, sorted_kept, -jnp.inf), axis=-1,
+                     keepdims=True)
+    l = jnp.where(l < cutoff, -jnp.inf, l)
+    sampled = jax.vmap(
+        lambda k, row: jax.random.categorical(k, row))(keys, l)
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1),
+                     sampled).astype(jnp.int32)
+
+
 def generate_sampled(params: dict, prompt: jax.Array,
                      cfg: llama.LlamaConfig, *, max_new_tokens: int,
                      rng: Optional[jax.Array] = None,

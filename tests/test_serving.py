@@ -96,3 +96,60 @@ def test_sampling_degenerates_to_greedy(setup):
     # nucleus: top_p ~ 0 keeps only the argmax
     tok = sample_token(logits, jax.random.PRNGKey(9), top_p=1e-6)
     assert tok.tolist() == jnp.argmax(logits, -1).tolist()
+
+
+def test_sample_token_per_row_semantics():
+    """Per-row sampler: greedy rows reproduce argmax, filtered rows
+    stay in-support, and filters compose k-THEN-p exactly like
+    sample_token (the nucleus mass is computed over the top-k
+    survivors, not the raw distribution)."""
+    from metal_flash_attention_tpu.models.serving import (
+        sample_token,
+        sample_token_per_row,
+    )
+
+    vocab = 64
+    rng = np.random.default_rng(5)
+    logits = jnp.asarray(rng.standard_normal((4, vocab)), jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(4, dtype=jnp.uint32))
+
+    # Row 0 greedy (temp=0), row 1 top_k=1, row 2 top_p~0: all argmax.
+    tok = sample_token_per_row(
+        logits, keys,
+        jnp.asarray([0.0, 0.9, 0.7, 0.8], jnp.float32),
+        jnp.asarray([0, 1, 0, 5], jnp.int32),
+        jnp.asarray([1.0, 1.0, 1e-6, 1.0], jnp.float32))
+    am = jnp.argmax(logits, -1)
+    assert int(tok[0]) == int(am[0])
+    assert int(tok[1]) == int(am[1])
+    assert int(tok[2]) == int(am[2])
+    # Row 3: top_k=5 support.
+    top5 = set(jnp.argsort(logits[3])[-5:].tolist())
+    for trial in range(4):
+        keys_t = jax.vmap(jax.random.PRNGKey)(
+            jnp.full((4,), 100 + trial, jnp.uint32))
+        tok_t = sample_token_per_row(
+            logits, keys_t,
+            jnp.full((4,), 0.8, jnp.float32),
+            jnp.full((4,), 5, jnp.int32),
+            jnp.ones((4,), jnp.float32))
+        assert int(tok_t[3]) in top5
+
+    # k-then-p composition: logits [3,2,1,0,-50,...] with top_k=2,
+    # top_p=0.7.  Over the k-truncated distribution, p(3)=0.731 > 0.7
+    # so the nucleus keeps ONLY index 0; over the raw distribution
+    # p(3)=0.645 < 0.7 and index 1 would survive.  Both samplers must
+    # always return 0.
+    comp = np.full((1, vocab), -50.0, np.float32)
+    comp[0, :4] = [3.0, 2.0, 1.0, 0.0]
+    comp = jnp.asarray(comp)
+    for trial in range(8):
+        t1 = sample_token(comp, jax.random.PRNGKey(trial),
+                          temperature=1.0, top_k=2, top_p=0.7)
+        t2 = sample_token_per_row(
+            comp, jax.random.PRNGKey(trial)[None],
+            jnp.ones((1,), jnp.float32),
+            jnp.full((1,), 2, jnp.int32),
+            jnp.full((1,), 0.7, jnp.float32))
+        assert int(t1[0]) == 0
+        assert int(t2[0]) == 0
