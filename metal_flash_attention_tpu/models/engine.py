@@ -63,6 +63,8 @@ class _Request:
     temperature: float = 0.0      # 0 = greedy
     top_k: int = 0                # 0 = off
     top_p: float = 1.0            # 1 = off
+    stop: frozenset = frozenset() # token ids that end the request
+    finished: bool = False        # hit a stop token
     out: list = field(default_factory=list)
     slot: Optional[int] = None
     next_token: Optional[int] = None
@@ -135,17 +137,23 @@ class ServingEngine:
 
     def submit(self, prompt, max_new_tokens: int, *,
                temperature: float = 0.0, top_k: int = 0,
-               top_p: float = 1.0) -> int:
+               top_p: float = 1.0, stop_tokens=()) -> int:
         """Queue a request.  temperature=0 (default) decodes greedily;
         temperature>0 samples with optional top-k / nucleus filters.
         Sampled streams are a pure function of (engine seed, request
-        id, token index) — batch composition cannot perturb them."""
+        id, token index) — batch composition cannot perturb them.
+
+        ``stop_tokens``: token ids (e.g. the tokenizer's EOS) that end
+        the request early.  The stop token is included in the output
+        (HF ``generate`` semantics), the slot and its page span free
+        immediately — max_new_tokens is a budget, not a sentence."""
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(_Request(
             rid, np.asarray(prompt, np.int32), max_new_tokens,
             temperature=float(temperature), top_k=int(top_k),
-            top_p=float(top_p)))
+            top_p=float(top_p),
+            stop=frozenset(int(t) for t in stop_tokens)))
         return rid
 
     @property
@@ -232,6 +240,7 @@ class ServingEngine:
                     tok = int(jnp.argmax(logits[0, -1]))
                 req.next_token = tok
                 req.out.append(req.next_token)
+                req.finished = tok in req.stop
                 emitted.append((req.rid, req.next_token))
 
     def _decode_active(self, emitted) -> None:
@@ -274,14 +283,16 @@ class ServingEngine:
             if r is None or r.next_token is None:
                 continue   # inactive rows: lengths stay pinned
             self._lengths[i] += 1
-            if len(r.out) < r.max_new_tokens:
+            if len(r.out) < r.max_new_tokens and not r.finished:
                 r.next_token = int(toks[i])
                 r.out.append(r.next_token)
+                r.finished = r.next_token in r.stop
                 emitted.append((r.rid, r.next_token))
 
     def _retire(self) -> None:
         for i, r in enumerate(self._slots):
-            if r is not None and len(r.out) >= r.max_new_tokens:
+            if r is not None and (r.finished
+                                  or len(r.out) >= r.max_new_tokens):
                 self.alloc.release(i)
                 self._table[i] = 0
                 self._lengths[i] = 0

@@ -210,3 +210,41 @@ def test_engine_sampled_stream_batch_invariant(setup):
     drain(eng_c)
     other = eng_c.result(rid_c).tolist()
     assert (other != alone) or (alone == np.asarray(greedy_ref).tolist())
+
+
+def test_engine_stop_tokens(setup):
+    """A request submitted with stop_tokens ends at the first stop hit:
+    output truncates right after the stop token, its pages free early,
+    and a companion request without stop tokens runs to budget."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    p0 = rng.integers(0, cfg.vocab_size, (10,)).astype(np.int32)
+    p1 = rng.integers(0, cfg.vocab_size, (13,)).astype(np.int32)
+    ref0 = np.asarray(serving.paged_generate(
+        params, jnp.asarray(p0[None]), cfg, max_new_tokens=10)[0])
+    ref1 = np.asarray(serving.paged_generate(
+        params, jnp.asarray(p1[None]), cfg, max_new_tokens=10)[0])
+    # Use the 4th generated token of request 0 as its stop token
+    # (guarding against earlier accidental repeats of the same id).
+    gen0 = ref0[len(p0):]
+    stop = int(gen0[3])
+    first_hit = int(np.argmax(gen0 == stop))
+
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                        max_seq=256, admissions_per_step=2)
+    r0 = eng.submit(p0, 10, stop_tokens=[stop])
+    r1 = eng.submit(p1, 10)
+    steps = 0
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 60
+    out0 = eng.result(r0)
+    # truncated right after the first stop hit, prefix matches greedy
+    assert out0.tolist() == ref0[:len(p0) + first_hit + 1].tolist()
+    assert out0[-1] == stop
+    assert len(out0) < len(ref0)
+    # companion untouched, full budget
+    assert eng.result(r1).tolist() == ref1.tolist()
+    # all pages back (null page only outstanding)
+    assert eng.alloc.free_pages == 32 - 1
