@@ -65,6 +65,7 @@ class _Request:
     top_p: float = 1.0            # 1 = off
     stop: frozenset = frozenset() # token ids that end the request
     finished: bool = False        # hit a stop token
+    borrowed: list = field(default_factory=list)  # shared prefix pages
     out: list = field(default_factory=list)
     slot: Optional[int] = None
     next_token: Optional[int] = None
@@ -87,7 +88,7 @@ class ServingEngine:
                  max_batch: int, num_pages: int, page_size: int = 128,
                  max_seq: int = 4096, chunk_step=None,
                  decode_step=None, admissions_per_step: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, prefix_cache: bool = False):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -132,6 +133,19 @@ class ServingEngine:
                                donate_argnums=(3,))
         self._base_key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(_sample_rows)
+        # Automatic prefix caching: retired requests register their
+        # complete prompt pages; new admissions reuse any cached
+        # page-aligned prefix and prefill only the unshared suffix.
+        # Cached pages are pinned by allocator refs and evicted (LRU,
+        # leaves first) under pool pressure.
+        if prefix_cache:
+            from metal_flash_attention_tpu.models.prefix_cache import (
+                PrefixCache,
+            )
+            self.prefix_cache: Optional[PrefixCache] = \
+                PrefixCache(self.alloc)
+        else:
+            self.prefix_cache = None
 
     # -- public API -------------------------------------------------------
 
@@ -193,15 +207,38 @@ class ServingEngine:
         budget = len(req.prompt) + req.max_new_tokens + 1
         if budget > self.max_pages * self.page_size:
             raise ValueError(f"request {req.rid} exceeds max_seq")
+        # Prefix-cache hit: borrow the shared pages (refs held for the
+        # request's lifetime) and reserve fresh pages only for the
+        # unshared suffix + generation budget.  hit is page-aligned,
+        # so every KV write this request performs (prefill resumes at
+        # `hit`, decode writes at >= len(prompt)) lands in the fresh
+        # pages — borrowed pages stay read-only.
+        borrowed: list[int] = []
+        hit = 0
+        if self.prefix_cache is not None:
+            borrowed, hit = self.prefix_cache.lookup(req.prompt)
         try:
-            pages = self.alloc.reserve(seq=free, num_tokens=budget)
+            pages = self.alloc.reserve(seq=free,
+                                       num_tokens=budget - hit)
         except Exception:
-            return False    # pool exhausted; retry after a retirement
+            # Pool exhausted: shed cold cache chains and retry once.
+            need = -(-(budget - hit) // self.page_size)
+            if self.prefix_cache is not None:
+                self.prefix_cache.evict(need - self.alloc.free_pages)
+            try:
+                pages = self.alloc.reserve(seq=free,
+                                           num_tokens=budget - hit)
+            except Exception:
+                if borrowed:
+                    self.alloc.release_pages(borrowed)
+                return False    # retry after a retirement
         self._queue.popleft()
         req.slot = free
+        req.borrowed = borrowed
         req.pages = np.zeros((self.max_pages,), np.int32)
-        req.pages[:len(pages)] = pages
-        req.prefill_pos = 0
+        req.pages[:len(borrowed)] = borrowed
+        req.pages[len(borrowed):len(borrowed) + len(pages)] = pages
+        req.prefill_pos = hit
         self._slots[free] = req
         return True
 
@@ -293,7 +330,13 @@ class ServingEngine:
         for i, r in enumerate(self._slots):
             if r is not None and (r.finished
                                   or len(r.out) >= r.max_new_tokens):
+                if self.prefix_cache is not None:
+                    # Pin this prompt's complete pages for future
+                    # requests BEFORE dropping the request's refs.
+                    self.prefix_cache.register(r.prompt, r.pages)
                 self.alloc.release(i)
+                if r.borrowed:
+                    self.alloc.release_pages(r.borrowed)
                 self._table[i] = 0
                 self._lengths[i] = 0
                 self._done[r.rid] = r

@@ -40,6 +40,15 @@ class NativePageAllocator:
             ctypes.POINTER(ctypes.c_uint32)]
         self._lib.mfa_tpu_pager_free_count.argtypes = [ctypes.c_uint64]
         self._lib.mfa_tpu_pager_free_count.restype = ctypes.c_uint32
+        self._lib.mfa_tpu_pager_retain_pages.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint32]
+        self._lib.mfa_tpu_pager_release_pages.argtypes = [
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_uint32]
+        self._lib.mfa_tpu_pager_refcount.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint32]
+        self._lib.mfa_tpu_pager_refcount.restype = ctypes.c_uint32
         self._id = self._lib.mfa_tpu_pager_create(num_pages, page_size)
         if self._id == 0:
             raise PagerError(self._err())
@@ -72,6 +81,26 @@ class NativePageAllocator:
             raise PagerError(self._err())
         return list(out[:n.value])
 
+    def retain(self, pages) -> None:
+        """Add one ref to each page (shared-prefix borrow / cache pin).
+        Every page must be live; fails without side effects."""
+        arr = (ctypes.c_uint32 * len(pages))(*pages)
+        rc = self._lib.mfa_tpu_pager_retain_pages(
+            self._id, arr, len(pages))
+        if rc != MFA_TPU_OK:
+            raise PagerError(self._err())
+
+    def release_pages(self, pages) -> None:
+        """Drop one ref from each page; frees pages that hit zero."""
+        arr = (ctypes.c_uint32 * len(pages))(*pages)
+        rc = self._lib.mfa_tpu_pager_release_pages(
+            self._id, arr, len(pages))
+        if rc != MFA_TPU_OK:
+            raise PagerError(self._err())
+
+    def refcount(self, page: int) -> int:
+        return int(self._lib.mfa_tpu_pager_refcount(self._id, page))
+
     @property
     def free_pages(self) -> int:
         return int(self._lib.mfa_tpu_pager_free_count(self._id))
@@ -93,6 +122,7 @@ class PythonPageAllocator:
         self.page_size = page_size
         self._free = list(range(1, num_pages))
         self._seqs: dict[int, list[int]] = {}
+        self._rc = [0] * num_pages
         self._lock = threading.Lock()
 
     def reserve(self, seq: int, num_tokens: int) -> list[int]:
@@ -106,12 +136,39 @@ class PythonPageAllocator:
                 raise PagerError(
                     f"pool exhausted: need {grow}, {len(self._free)} free")
             new = [self._free.pop() for _ in range(grow)]
+            for pg in new:
+                self._rc[pg] = 1
             pages.extend(new)
             return new
 
     def release(self, seq: int) -> None:
         with self._lock:
-            self._free.extend(self._seqs.pop(seq, []))
+            for pg in self._seqs.pop(seq, []):
+                self._rc[pg] -= 1
+                if self._rc[pg] == 0:
+                    self._free.append(pg)
+
+    def retain(self, pages) -> None:
+        with self._lock:
+            for pg in pages:
+                if not (1 <= pg < self.num_pages) or self._rc[pg] == 0:
+                    raise PagerError(f"retain of free page {pg}")
+            for pg in pages:
+                self._rc[pg] += 1
+
+    def release_pages(self, pages) -> None:
+        with self._lock:
+            for pg in pages:
+                if not (1 <= pg < self.num_pages) or self._rc[pg] == 0:
+                    raise PagerError(f"double free of page {pg}")
+            for pg in pages:
+                self._rc[pg] -= 1
+                if self._rc[pg] == 0:
+                    self._free.append(pg)
+
+    def refcount(self, page: int) -> int:
+        with self._lock:
+            return self._rc[page] if 0 <= page < self.num_pages else 0
 
     def pages(self, seq: int) -> list[int]:
         with self._lock:

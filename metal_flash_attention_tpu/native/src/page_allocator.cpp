@@ -28,6 +28,11 @@ struct Pager {
   uint32_t page_size = 0;
   std::vector<uint32_t> free_list;                 // LIFO for locality
   std::map<uint64_t, std::vector<uint32_t>> seqs;  // seq_id -> pages
+  // Per-page reference counts: a page can be co-owned by its
+  // reserving sequence, by borrowing sequences (shared prompt
+  // prefixes), and by the host prefix cache.  0 == on the free list.
+  // A page returns to the free list only when the last ref drops.
+  std::vector<uint32_t> refcount;
   std::mutex mu;
 };
 
@@ -61,6 +66,7 @@ uint64_t mfa_tpu_pager_create(uint32_t num_pages, uint32_t page_size) {
   p->page_size = page_size;
   p->free_list.reserve(num_pages - 1);
   for (uint32_t i = num_pages - 1; i >= 1; --i) p->free_list.push_back(i);
+  p->refcount.assign(num_pages, 0);
   std::lock_guard<std::mutex> lock(g_registry_mu);
   const uint64_t id = g_next_id++;
   g_pagers[id] = p;
@@ -108,6 +114,7 @@ int mfa_tpu_pager_reserve(uint64_t id, uint64_t seq, uint32_t num_tokens,
   for (uint32_t i = 0; i < grow; ++i) {
     const uint32_t page = p->free_list.back();
     p->free_list.pop_back();
+    p->refcount[page] = 1;  // owned by the reserving sequence
     pages.push_back(page);
     out[i] = page;
   }
@@ -115,7 +122,9 @@ int mfa_tpu_pager_reserve(uint64_t id, uint64_t seq, uint32_t num_tokens,
   return MFA_TPU_OK;
 }
 
-// Release every page owned by `seq` back to the free list.
+// Release every page owned by `seq`: drop the sequence's ref on each;
+// pages return to the free list only when the last co-owner (prefix
+// cache, borrowing sequences) has also released.
 int mfa_tpu_pager_release(uint64_t id, uint64_t seq) {
   Pager* p = find(id);
   MFA_TPU_PRECONDITION(p != nullptr, "no pager %llu",
@@ -123,9 +132,62 @@ int mfa_tpu_pager_release(uint64_t id, uint64_t seq) {
   std::lock_guard<std::mutex> lock(p->mu);
   auto it = p->seqs.find(seq);
   if (it == p->seqs.end()) return MFA_TPU_ERR_NOT_FOUND;
-  for (uint32_t page : it->second) p->free_list.push_back(page);
+  for (uint32_t page : it->second) {
+    MFA_TPU_PRECONDITION(p->refcount[page] > 0,
+                         "double free of page %u", page);
+    if (--p->refcount[page] == 0) p->free_list.push_back(page);
+  }
   p->seqs.erase(it);
   return MFA_TPU_OK;
+}
+
+// Add one reference to each page in `pages` (shared-prefix borrow or
+// prefix-cache pin).  Every page must currently be live (rc > 0):
+// retaining a free page would resurrect stale KV.
+int mfa_tpu_pager_retain_pages(uint64_t id, const uint32_t* pages,
+                               uint32_t n) {
+  Pager* p = find(id);
+  MFA_TPU_PRECONDITION(p != nullptr, "no pager %llu",
+                       (unsigned long long)id);
+  MFA_TPU_PRECONDITION(pages != nullptr || n == 0, "null pages");
+  std::lock_guard<std::mutex> lock(p->mu);
+  for (uint32_t i = 0; i < n; ++i) {
+    MFA_TPU_PRECONDITION(pages[i] >= 1 && pages[i] < p->num_pages,
+                         "page %u out of range", pages[i]);
+    MFA_TPU_PRECONDITION(p->refcount[pages[i]] > 0,
+                         "retain of free page %u", pages[i]);
+  }
+  for (uint32_t i = 0; i < n; ++i) ++p->refcount[pages[i]];
+  return MFA_TPU_OK;
+}
+
+// Drop one reference from each page in `pages`; a page whose count
+// reaches zero returns to the free list.
+int mfa_tpu_pager_release_pages(uint64_t id, const uint32_t* pages,
+                                uint32_t n) {
+  Pager* p = find(id);
+  MFA_TPU_PRECONDITION(p != nullptr, "no pager %llu",
+                       (unsigned long long)id);
+  MFA_TPU_PRECONDITION(pages != nullptr || n == 0, "null pages");
+  std::lock_guard<std::mutex> lock(p->mu);
+  for (uint32_t i = 0; i < n; ++i) {
+    MFA_TPU_PRECONDITION(pages[i] >= 1 && pages[i] < p->num_pages,
+                         "page %u out of range", pages[i]);
+    MFA_TPU_PRECONDITION(p->refcount[pages[i]] > 0,
+                         "double free of page %u", pages[i]);
+  }
+  for (uint32_t i = 0; i < n; ++i) {
+    if (--p->refcount[pages[i]] == 0) p->free_list.push_back(pages[i]);
+  }
+  return MFA_TPU_OK;
+}
+
+// Current reference count of `page` (0 == free).
+uint32_t mfa_tpu_pager_refcount(uint64_t id, uint32_t page) {
+  Pager* p = find(id);
+  if (!p || page >= p->num_pages) return 0;
+  std::lock_guard<std::mutex> lock(p->mu);
+  return p->refcount[page];
 }
 
 // Copy sequence `seq`'s page list into `out`; returns count via *n.
