@@ -88,7 +88,8 @@ class ServingEngine:
                  max_batch: int, num_pages: int, page_size: int = 128,
                  max_seq: int = 4096, chunk_step=None,
                  decode_step=None, admissions_per_step: int = 1,
-                 seed: int = 0, prefix_cache: bool = False):
+                 seed: int = 0, prefix_cache: bool = False,
+                 kv_sharding=None):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -97,10 +98,17 @@ class ServingEngine:
                                          page_size=page_size)
         d_store = -(-cfg.head_dim // 128) * 128
         pool_shape = (num_pages, cfg.n_kv_heads, page_size, d_store)
-        self._k = [jnp.zeros(pool_shape, cfg.dtype)
-                   for _ in range(cfg.n_layers)]
-        self._v = [jnp.zeros(pool_shape, cfg.dtype)
-                   for _ in range(cfg.n_layers)]
+        # kv_sharding: tensor-parallel serving — a NamedSharding over
+        # the pools' kv-heads axis (P(None, "heads", None, None));
+        # pair with chunk/decode steps built via
+        # functools.partial(serving.paged_*_step, mesh=mesh) and
+        # params placed by llama.param_shardings.
+        def pool():
+            z = jnp.zeros(pool_shape, cfg.dtype)
+            return z if kv_sharding is None else jax.device_put(
+                z, kv_sharding)
+        self._k = [pool() for _ in range(cfg.n_layers)]
+        self._v = [pool() for _ in range(cfg.n_layers)]
         # Inactive slots ride along in the batched decode and still
         # write their (garbage) token KV at lengths=0; their table
         # rows point at the allocator's null page (page 0, never

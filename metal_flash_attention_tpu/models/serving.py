@@ -390,15 +390,51 @@ def init_paged_model_cache(cfg: llama.LlamaConfig, batch: int,
     )
 
 
+def _paged_attn_tp(fn, mesh, q: jax.Array, layer_cache: PagedKVCache,
+                   **kw) -> jax.Array:
+    """Run a paged Pallas kernel as a shard_map island over the mesh's
+    heads axis (the serving mirror of the training path's attention
+    island, llama.py:183-200): XLA/GSPMD partitions every surrounding
+    GEMM from the parameter shardings, but a Pallas call cannot be
+    auto-partitioned, so each device runs the kernel on its local
+    (q-heads, kv-heads) block.  GQA co-location is free: contiguous
+    q-head blocks map onto contiguous kv-head blocks, so `h // group`
+    stays local and there is zero attention communication."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from metal_flash_attention_tpu.parallel.mesh import HEAD_AXIS
+
+    qspec = P(None, HEAD_AXIS, *(None,) * (q.ndim - 2))
+    pool = P(None, HEAD_AXIS, None, None)
+
+    def local(q_, kp, vp, tbl, ln):
+        return fn(q_, PagedKVCache(kp, vp, tbl, ln), **kw)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(qspec, pool, pool, P(None, None), P(None)),
+        out_specs=qspec, check_vma=False)(
+        q, layer_cache.k_pages, layer_cache.v_pages,
+        layer_cache.page_table, layer_cache.lengths)
+
+
 def paged_chunk_step(params: dict, tokens: jax.Array,
-                     cfg: llama.LlamaConfig, cache: PagedModelCache
-                     ) -> tuple[jax.Array, PagedModelCache]:
+                     cfg: llama.LlamaConfig, cache: PagedModelCache,
+                     mesh=None) -> tuple[jax.Array, PagedModelCache]:
     """Consume a chunk of tokens (positions lengths..lengths+k-1):
     write their K/V into the pools and return per-position logits
     [batch, k, vocab].  Serves both prompt prefill (lengths = 0) and
     speculative-verification chunks — the attention is
     `ops.paged_prefill` (causal at each query's absolute position,
-    ragged lengths per sequence)."""
+    ragged lengths per sequence).
+
+    ``mesh``: tensor-parallel serving.  Shard params with
+    `llama.param_shardings(cfg, mesh)` and the KV pools over the
+    kv-heads axis; the paged kernel runs as a shard_map island per
+    device while GSPMD partitions the GEMMs (row-parallel wo/w_down
+    psums inserted by XLA).  Pass via functools.partial so the
+    engine's jit closure captures it."""
     b, kc = tokens.shape
     positions = cache.lengths[:, None] + jnp.arange(kc)[None, :]
     cos, sin = llama.rope_frequencies(cfg, positions)
@@ -412,7 +448,11 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
                          cache.lengths), k, v)
         k_pools.append(layer_cache.k_pages)
         v_pools.append(layer_cache.v_pages)
-        o = paged_prefill(q.astype(cfg.dtype), layer_cache)
+        if mesh is None:
+            o = paged_prefill(q.astype(cfg.dtype), layer_cache)
+        else:
+            o = _paged_attn_tp(paged_prefill, mesh,
+                               q.astype(cfg.dtype), layer_cache)
         o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
         x = x + (o @ layer["wo"]).astype(x.dtype)
         x = llama.mlp_block(layer, x, cfg)
@@ -424,11 +464,12 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
 
 
 def paged_decode_step(params: dict, token: jax.Array,
-                      cfg: llama.LlamaConfig, cache: PagedModelCache
-                      ) -> tuple[jax.Array, PagedModelCache]:
+                      cfg: llama.LlamaConfig, cache: PagedModelCache,
+                      mesh=None) -> tuple[jax.Array, PagedModelCache]:
     """One plain decode step over the paged cache (the vLLM-style
     counterpart of :func:`decode_step`): append the token's K/V rows,
-    attend via `ops.paged_decode`."""
+    attend via `ops.paged_decode`.  ``mesh``: tensor-parallel serving
+    (see :func:`paged_chunk_step`)."""
     b = token.shape[0]
     positions = cache.lengths[:, None]
     cos, sin = llama.rope_frequencies(cfg, positions)
@@ -441,7 +482,12 @@ def paged_decode_step(params: dict, token: jax.Array,
                          cache.lengths), k, v)
         k_pools.append(layer_cache.k_pages)
         v_pools.append(layer_cache.v_pages)
-        o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache)
+        if mesh is None:
+            o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache)
+        else:
+            o = _paged_attn_tp(paged_decode, mesh,
+                               q[:, :, 0].astype(cfg.dtype),
+                               layer_cache)
         x = x + (o.reshape(b, 1, -1) @ layer["wo"]).astype(x.dtype)
         x = llama.mlp_block(layer, x, cfg)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
