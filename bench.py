@@ -218,6 +218,46 @@ def bench_engine(*, floor):
     return eng_tok_s, raw_tok_s
 
 
+def bench_prefix_cache(*, floor):
+    """Automatic prefix caching: time-to-first-token for a 2048-token
+    prompt cold (full 16-chunk prefill) vs warm (15 pages borrowed
+    from the cache; one tail chunk computes).  Reported as seconds
+    after subtracting the tunnel dispatch floor per engine step."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, cfg.vocab_size, (2048,))
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=64,
+                        max_seq=4096, prefix_cache=True)
+
+    def ttft():
+        rid = eng.submit(prompt, 4)
+        first = None
+        steps = 0
+        t0 = time.perf_counter()
+        while first is None:
+            for r, t in eng.step():
+                if r == rid:
+                    first = t
+            steps += 1
+        dt = time.perf_counter() - t0 - steps * floor
+        while not eng.idle:
+            eng.step()
+        return dt
+
+    ttft()                       # compile both paths' chunk shapes
+    eng.prefix_cache.flush()
+    cold = ttft()                # full prefill, compiled
+    warm = ttft()                # 15/16 pages from cache
+    return cold, warm
+
+
 def bench_gemm(size, *, floor):
     from metal_flash_attention_tpu.ops.gemm import gemm
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
@@ -402,6 +442,14 @@ def main():
               f"({eng_tok / max(raw_tok, 1e-9):5.1%})", file=err)
     except Exception as e:
         print(f"# engine decode: FAIL {type(e).__name__}: {e}", file=err)
+
+    try:
+        cold, warm = retry_once(bench_prefix_cache, floor=floor)
+        print(f"# prefix cache TTFT (2048-tok prompt, 15/16 pages hit): "
+              f"cold {cold * 1e3:7.1f} ms -> warm {warm * 1e3:7.1f} ms "
+              f"({cold / max(warm, 1e-9):4.1f}x)", file=err)
+    except Exception as e:
+        print(f"# prefix cache: FAIL {type(e).__name__}: {e}", file=err)
 
     for size in (512, 1489, 4096):
         try:
