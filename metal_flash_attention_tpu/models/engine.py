@@ -55,6 +55,16 @@ def _sample_rows(logits, base_key, rids, idxs, temp, top_k, top_p):
                                         top_p)
 
 
+def _logprob_rows(logits, toks):
+    """log P(tok | context) per row under the UNFILTERED distribution
+    (the model's own probability, not the sampler's renormalized one —
+    the convention OpenAI-style logprobs use)."""
+    l = logits.astype(jnp.float32)
+    sel = jnp.take_along_axis(
+        l, toks.astype(jnp.int32)[:, None], axis=1)[:, 0]
+    return sel - jax.nn.logsumexp(l, axis=-1)
+
+
 @dataclass
 class _Request:
     rid: int
@@ -65,8 +75,10 @@ class _Request:
     top_p: float = 1.0            # 1 = off
     stop: frozenset = frozenset() # token ids that end the request
     finished: bool = False        # hit a stop token
+    want_logprobs: bool = False
     borrowed: list = field(default_factory=list)  # shared prefix pages
     out: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)  # aligned with out
     slot: Optional[int] = None
     next_token: Optional[int] = None
     pages: Optional[np.ndarray] = None   # reserved page ids
@@ -141,6 +153,7 @@ class ServingEngine:
                                donate_argnums=(3,))
         self._base_key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(_sample_rows)
+        self._logprob = jax.jit(_logprob_rows)
         # Automatic prefix caching: retired requests register their
         # complete prompt pages; new admissions reuse any cached
         # page-aligned prefix and prefill only the unshared suffix.
@@ -159,7 +172,8 @@ class ServingEngine:
 
     def submit(self, prompt, max_new_tokens: int, *,
                temperature: float = 0.0, top_k: int = 0,
-               top_p: float = 1.0, stop_tokens=()) -> int:
+               top_p: float = 1.0, stop_tokens=(),
+               logprobs: bool = False) -> int:
         """Queue a request.  temperature=0 (default) decodes greedily;
         temperature>0 samples with optional top-k / nucleus filters.
         Sampled streams are a pure function of (engine seed, request
@@ -168,14 +182,19 @@ class ServingEngine:
         ``stop_tokens``: token ids (e.g. the tokenizer's EOS) that end
         the request early.  The stop token is included in the output
         (HF ``generate`` semantics), the slot and its page span free
-        immediately — max_new_tokens is a budget, not a sentence."""
+        immediately — max_new_tokens is a budget, not a sentence.
+
+        ``logprobs``: record log P(token | context) under the model's
+        unfiltered distribution for every generated token; read them
+        back with :meth:`result_logprobs`."""
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(_Request(
             rid, np.asarray(prompt, np.int32), max_new_tokens,
             temperature=float(temperature), top_k=int(top_k),
             top_p=float(top_p),
-            stop=frozenset(int(t) for t in stop_tokens)))
+            stop=frozenset(int(t) for t in stop_tokens),
+            want_logprobs=bool(logprobs)))
         return rid
 
     @property
@@ -185,6 +204,16 @@ class ServingEngine:
     def result(self, rid: int) -> np.ndarray:
         req = self._done[rid]
         return np.concatenate([req.prompt, np.asarray(req.out, np.int32)])
+
+    def result_logprobs(self, rid: int) -> np.ndarray:
+        """Per-generated-token log-probabilities (aligned with the
+        generated suffix of :meth:`result`); the request must have
+        been submitted with ``logprobs=True``."""
+        req = self._done[rid]
+        if not req.want_logprobs:
+            raise ValueError(
+                f"request {rid} was not submitted with logprobs=True")
+        return np.asarray(req.logprobs, np.float32)
 
     def step(self) -> list[tuple[int, int]]:
         """One engine iteration; returns the (request_id, token) pairs
@@ -286,6 +315,10 @@ class ServingEngine:
                 req.next_token = tok
                 req.out.append(req.next_token)
                 req.finished = tok in req.stop
+                if req.want_logprobs:
+                    req.logprobs.append(float(self._logprob(
+                        logits[:, -1],
+                        jnp.full((1,), tok, jnp.int32))[0]))
                 emitted.append((req.rid, req.next_token))
 
     def _decode_active(self, emitted) -> None:
@@ -324,6 +357,10 @@ class ServingEngine:
                 jnp.asarray(top_k), jnp.asarray(top_p)), np.int32)
         else:
             toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        lps = None
+        if any(r is not None and r.next_token is not None
+               and r.want_logprobs for r in self._slots):
+            lps = np.asarray(self._logprob(logits, jnp.asarray(toks)))
         for i, r in enumerate(self._slots):
             if r is None or r.next_token is None:
                 continue   # inactive rows: lengths stay pinned
@@ -332,6 +369,8 @@ class ServingEngine:
                 r.next_token = int(toks[i])
                 r.out.append(r.next_token)
                 r.finished = r.next_token in r.stop
+                if r.want_logprobs:
+                    r.logprobs.append(float(lps[i]))
                 emitted.append((r.rid, r.next_token))
 
     def _retire(self) -> None:

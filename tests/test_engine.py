@@ -248,3 +248,47 @@ def test_engine_stop_tokens(setup):
     assert eng.result(r1).tolist() == ref1.tolist()
     # all pages back (null page only outstanding)
     assert eng.alloc.free_pages == 32 - 1
+
+
+def test_engine_logprobs(setup):
+    """logprobs=True records log P(token|context) for every generated
+    token; values match a manual paged loop capturing logits, and are
+    valid log-probabilities of the emitted greedy tokens."""
+    cfg, params = setup
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, cfg.vocab_size, (9,)).astype(np.int32)
+    m = 5
+
+    # Reference: manual chunked prefill + decode capturing logits.
+    cache = serving.init_paged_model_cache(cfg, 1, 64, page_size=128)
+    logits, cache = jax.jit(serving.paged_chunk_step,
+                            static_argnames=("cfg",))(
+        params, jnp.asarray(prompt[None]), cfg, cache)
+    step = jax.jit(serving.paged_decode_step, static_argnames=("cfg",))
+    ref_lp = []
+    l = logits[:, -1]
+    for _ in range(m):
+        tok = jnp.argmax(l, -1).astype(jnp.int32)
+        lse = jax.nn.logsumexp(l.astype(jnp.float32), -1)
+        ref_lp.append(float(l.astype(jnp.float32)[0, int(tok[0])]
+                            - lse[0]))
+        l, cache = step(params, tok, cfg, cache)
+
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=8,
+                        max_seq=64)
+    rid = eng.submit(prompt, m, logprobs=True)
+    steps = 0
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 40
+    lp = eng.result_logprobs(rid)
+    assert lp.shape == (m,)
+    assert np.all(lp <= 0.0)
+    np.testing.assert_allclose(lp, ref_lp, rtol=1e-5, atol=1e-5)
+    # requests without the flag reject the accessor
+    rid2 = eng.submit(prompt, 2)
+    while not eng.idle:
+        eng.step()
+    with pytest.raises(ValueError):
+        eng.result_logprobs(rid2)
