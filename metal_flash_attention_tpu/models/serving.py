@@ -610,13 +610,15 @@ def speculative_generate(params: dict, prompt: jax.Array,
 
 
 def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
-                           cache: PagedModelCache
+                           cache: PagedModelCache, mesh=None
                            ) -> tuple[jax.Array, PagedModelCache]:
     """Gemma chunk step over a paged cache: local layers attend
     through their sliding window (in-kernel per-query-row window in
     `ops.paged_prefill`), attention logits soft-capped.  Serves Gemma
     prompt prefill and speculative-verification chunks; pass as
-    ``chunk_step`` to :func:`speculative_generate`."""
+    ``chunk_step`` to :func:`speculative_generate`.  ``mesh``:
+    tensor-parallel serving (see :func:`paged_chunk_step`; shard
+    params with `gemma.param_shardings`)."""
     from metal_flash_attention_tpu.models import gemma
 
     b, kc = tokens.shape
@@ -634,10 +636,14 @@ def gemma_paged_chunk_step(params: dict, tokens: jax.Array, cfg,
         v_pools.append(layer_cache.v_pages)
         window = (cfg.sliding_window if gemma.is_local_layer(li)
                   else None)
-        o = paged_prefill(q.astype(cfg.dtype), layer_cache,
-                          scale=cfg.attn_scale,
-                          logit_softcap=cfg.attn_logit_softcap,
-                          window_size=window)
+        kw = dict(scale=cfg.attn_scale,
+                  logit_softcap=cfg.attn_logit_softcap,
+                  window_size=window)
+        if mesh is None:
+            o = paged_prefill(q.astype(cfg.dtype), layer_cache, **kw)
+        else:
+            o = _paged_attn_tp(paged_prefill, mesh,
+                               q.astype(cfg.dtype), layer_cache, **kw)
         o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
         o = (o @ layer["wo"]).astype(x.dtype)
         o = gemma.rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
@@ -771,11 +777,12 @@ def generate_sampled(params: dict, prompt: jax.Array,
 
 
 def gemma_paged_decode_step(params: dict, token: jax.Array, cfg,
-                            cache: PagedModelCache
+                            cache: PagedModelCache, mesh=None
                             ) -> tuple[jax.Array, PagedModelCache]:
     """One Gemma decode step over the paged cache: local layers use
     the paged kernel's static ``window_size`` mask, logits soft-capped
-    in-kernel — the paged counterpart of :func:`gemma_decode_step`."""
+    in-kernel — the paged counterpart of :func:`gemma_decode_step`.
+    ``mesh``: tensor-parallel serving (see :func:`paged_chunk_step`)."""
     from metal_flash_attention_tpu.models import gemma
 
     b = token.shape[0]
@@ -793,10 +800,16 @@ def gemma_paged_decode_step(params: dict, token: jax.Array, cfg,
         v_pools.append(layer_cache.v_pages)
         window = (cfg.sliding_window if gemma.is_local_layer(li)
                   else None)
-        o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache,
-                         scale=cfg.attn_scale,
-                         logit_softcap=cfg.attn_logit_softcap,
-                         window_size=window)
+        kw = dict(scale=cfg.attn_scale,
+                  logit_softcap=cfg.attn_logit_softcap,
+                  window_size=window)
+        if mesh is None:
+            o = paged_decode(q[:, :, 0].astype(cfg.dtype),
+                             layer_cache, **kw)
+        else:
+            o = _paged_attn_tp(paged_decode, mesh,
+                               q[:, :, 0].astype(cfg.dtype),
+                               layer_cache, **kw)
         o = (o.reshape(b, 1, -1) @ layer["wo"]).astype(x.dtype)
         o = gemma.rms_norm(o, layer["post_attn_norm"], cfg.norm_eps)
         x = x + o

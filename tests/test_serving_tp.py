@@ -97,3 +97,36 @@ def test_tp_engine_matches_unsharded(setup):
         return [eng.result(r).tolist() for r in rids]
 
     assert run(params) == run(sharded, mesh, kv_shard)
+
+
+def test_tp_gemma_engine_matches_unsharded(setup):
+    """Gemma family (sliding-window local layers + softcap) through
+    the TP engine: token streams match the single-device engine."""
+    from metal_flash_attention_tpu.models import gemma
+
+    _, _, mesh, _, kv_shard = setup
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32)
+    params = gemma.init_params(jax.random.PRNGKey(3), cfg)
+    sharded = jax.device_put(params, gemma.param_shardings(cfg, mesh))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (11, 18)]
+
+    def run(prm, mesh_arg=None, kv=None):
+        eng = ServingEngine(
+            prm, cfg, max_batch=2, num_pages=16, page_size=16,
+            max_seq=96,
+            chunk_step=functools.partial(
+                serving.gemma_paged_chunk_step, mesh=mesh_arg),
+            decode_step=functools.partial(
+                serving.gemma_paged_decode_step, mesh=mesh_arg),
+            kv_sharding=kv)
+        rids = [eng.submit(p, 5) for p in prompts]
+        steps = 0
+        while not eng.idle:
+            eng.step()
+            steps += 1
+            assert steps < 80
+        return [eng.result(r).tolist() for r in rids]
+
+    assert run(params) == run(sharded, mesh, kv_shard)
