@@ -101,7 +101,8 @@ class ServingEngine:
                  max_seq: int = 4096, chunk_step=None,
                  decode_step=None, admissions_per_step: int = 1,
                  seed: int = 0, prefix_cache: bool = False,
-                 kv_sharding=None):
+                 kv_sharding=None, draft_fn=None, draft_len: int = 0,
+                 draft_history: int = 16):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -154,6 +155,25 @@ class ServingEngine:
         self._base_key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(_sample_rows)
         self._logprob = jax.jit(_logprob_rows)
+        # Speculative continuous batching: when draft_fn is given the
+        # batched decode becomes a batched VERIFY round — every active
+        # slot checks its own draft_len-token draft in one fixed-shape
+        # paged chunk and emits 1..draft_len+1 tokens per step.
+        # draft_fn(last [b], history [b, draft_history]) -> [b,
+        # draft_len] proposes continuations (history is right-aligned,
+        # -1 padded).  Greedy-only (the verify contract is argmax
+        # equality); submit() rejects temperature>0 / logprobs=True.
+        self._draft_fn = draft_fn
+        self.draft_len = int(draft_len)
+        self.draft_history = int(draft_history)
+        if draft_fn is not None:
+            assert self.draft_len >= 1, "draft_fn needs draft_len >= 1"
+            import functools
+            self._round = jax.jit(
+                functools.partial(
+                    serving._speculative_round,
+                    chunk_step=chunk_step or serving.paged_chunk_step),
+                static_argnames=("cfg",), donate_argnums=(2,))
         # Automatic prefix caching: retired requests register their
         # complete prompt pages; new admissions reuse any cached
         # page-aligned prefix and prefill only the unshared suffix.
@@ -187,6 +207,11 @@ class ServingEngine:
         ``logprobs``: record log P(token | context) under the model's
         unfiltered distribution for every generated token; read them
         back with :meth:`result_logprobs`."""
+        if self._draft_fn is not None and (temperature > 0 or logprobs):
+            raise ValueError(
+                "speculative engine mode is greedy-only (the verify "
+                "contract is argmax equality) and does not record "
+                "logprobs")
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(_Request(
@@ -225,7 +250,10 @@ class ServingEngine:
         self._prefill_step(emitted)
         if any(r is not None and r.next_token is not None
                for r in self._slots):
-            self._decode_active(emitted)
+            if self._draft_fn is not None:
+                self._speculative_active(emitted)
+            else:
+                self._decode_active(emitted)
         self._retire()
         return emitted
 
@@ -241,7 +269,12 @@ class ServingEngine:
         if free is None or not self._queue:
             return False
         req = self._queue[0]
-        budget = len(req.prompt) + req.max_new_tokens + 1
+        # Speculative rounds write draft_len+1 rows before rolling
+        # lengths back, so the page span must cover the high-water
+        # mark (same bound as speculative_generate).
+        margin = (2 * (self.draft_len + 1)
+                  if self._draft_fn is not None else 1)
+        budget = len(req.prompt) + req.max_new_tokens + margin
         if budget > self.max_pages * self.page_size:
             raise ValueError(f"request {req.rid} exceeds max_seq")
         # Prefix-cache hit: borrow the shared pages (refs held for the
@@ -372,6 +405,58 @@ class ServingEngine:
                 if r.want_logprobs:
                     r.logprobs.append(float(lps[i]))
                 emitted.append((r.rid, r.next_token))
+
+    def _speculative_active(self, emitted) -> None:
+        """One batched speculative verify round for every active slot
+        (serving._speculative_round over the shared pools): each live
+        row checks its draft in the same fixed-shape paged chunk and
+        emits 1 + accepts tokens.  Inactive / mid-prefill rows ride
+        along on the null page with live=False — their lengths roll
+        back to base inside the round, so nothing they write is ever
+        readable."""
+        n = len(self._slots)
+        last = np.zeros((n,), np.int32)
+        live = np.zeros((n,), bool)
+        for i, r in enumerate(self._slots):
+            if r is not None and r.next_token is not None:
+                last[i] = r.next_token
+                if not r.finished and len(r.out) < r.max_new_tokens:
+                    live[i] = True
+        history = np.full((n, self.draft_history), -1, np.int32)
+        for i, r in enumerate(self._slots):
+            if r is None or r.next_token is None:
+                continue
+            seq = np.concatenate([r.prompt,
+                                  np.asarray(r.out, np.int32)])
+            h = seq[-self.draft_history:]
+            history[i, len(history[i]) - len(h):] = h
+        drafts = self._draft_fn(jnp.asarray(last),
+                                jnp.asarray(history))
+        assert drafts.shape == (n, self.draft_len), drafts.shape
+        cache = serving.PagedModelCache(
+            k=tuple(self._k), v=tuple(self._v),
+            page_table=jnp.asarray(self._table),
+            lengths=jnp.asarray(self._lengths))
+        em, n_em, next_last, cache = self._round(
+            self.params, self.cfg, cache, jnp.asarray(last),
+            jnp.asarray(drafts, jnp.int32), jnp.asarray(live))
+        self._k = list(cache.k)
+        self._v = list(cache.v)
+        self._lengths = np.asarray(cache.lengths).copy()
+        em = np.asarray(em)
+        n_em = np.asarray(n_em)
+        next_last = np.asarray(next_last)
+        for i, r in enumerate(self._slots):
+            if r is None or not live[i]:
+                continue
+            for j in range(int(n_em[i])):
+                if len(r.out) >= r.max_new_tokens or r.finished:
+                    break
+                tok = int(em[i, j])
+                r.out.append(tok)
+                r.finished = tok in r.stop
+                emitted.append((r.rid, tok))
+            r.next_token = int(next_last[i])
 
     def _retire(self) -> None:
         for i, r in enumerate(self._slots):
