@@ -34,6 +34,7 @@ from metal_flash_attention_tpu.ops.flash_decode import flash_decode
 from metal_flash_attention_tpu.ops.flash_attention import MIN_LANES
 from metal_flash_attention_tpu.ops.paged_attention import (
     PagedKVCache,
+    QuantizedPagedKVCache,
     paged_append_chunk,
     paged_decode,
     paged_prefill,
@@ -819,3 +820,285 @@ def gemma_paged_decode_step(params: dict, token: jax.Array, cfg,
     return (_gemma_final_softcap(logits, cfg),
             PagedModelCache(tuple(k_pools), tuple(v_pools),
                             cache.page_table, cache.lengths + 1))
+
+
+# ---------------------------------------------------------------------------
+# Quantized paged serving: quantized full pages + one bf16 tail page
+# ---------------------------------------------------------------------------
+
+class QuantizedPagedModelCache(NamedTuple):
+    """Paged model cache whose FULL pages live quantized (INT8/FP8,
+    per-(page, head) scales — the reference's quantizedKV capability,
+    `AttentionKernel+Source.swift:216-291`, at page granularity) while
+    the in-progress page of each sequence stays in a bf16 tail.
+
+    The paged analog of :class:`QuantizedKVCache` (dense
+    quantized-prefix + bf16-tail): every completed page is quantized
+    ONCE, in-jit, by a masked flush — no length-dependent host control
+    flow — and decode merges the (quantized pool, bf16 tail) partials
+    with the same logsumexp combine as the dense path.  Per-page
+    scales keep pages shareable across sequences, so automatic prefix
+    caching composes with quantized KV for free."""
+    qk: tuple           # [layers] x [num_pages, kv_heads, page, d] storage
+    qv: tuple
+    k_scales: tuple     # [layers] x [num_pages, kv_heads] f32
+    v_scales: tuple
+    tail_k: tuple       # [layers] x [batch, kv_heads, page, d] bf16
+    tail_v: tuple
+    page_table: jax.Array   # [batch, max_pages] int32
+    full_len: jax.Array     # [batch] tokens in quantized pages (page-multiple)
+    tail_len: jax.Array     # [batch] tokens in the bf16 tail (< page)
+    precision: OperandPrecision
+
+    @property
+    def lengths(self) -> jax.Array:
+        return self.full_len + self.tail_len
+
+    @property
+    def page_size(self) -> int:
+        return self.tail_k[0].shape[2]
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedPagedModelCache,
+    lambda c: ((c.qk, c.qv, c.k_scales, c.v_scales, c.tail_k, c.tail_v,
+                c.page_table, c.full_len, c.tail_len), c.precision),
+    lambda prec, xs: QuantizedPagedModelCache(*xs, prec),
+)
+
+
+def init_quantized_paged_model_cache(
+        cfg: llama.LlamaConfig, batch: int, max_seq: int, *,
+        precision: OperandPrecision, page_size: int = 128,
+        num_pages: Optional[int] = None) -> QuantizedPagedModelCache:
+    """Zero-initialized quantized pools + bf16 tails (contiguous page
+    assignment, like :func:`init_paged_model_cache`).  INT8 and both
+    FP8 formats are supported; NF4 needs nibble re-packing in the
+    flush and is not wired here (use `quantize_paged` for
+    static-prefix NF4)."""
+    if precision not in (OperandPrecision.INT8,
+                         OperandPrecision.FP8_E4M3,
+                         OperandPrecision.FP8_E5M2):
+        raise ValueError(f"unsupported streaming KV precision: "
+                         f"{precision}")
+    max_pages = -(-max_seq // page_size)
+    num_pages = num_pages or batch * max_pages
+    d_store = round_up(cfg.head_dim, MIN_LANES)
+    pool = (num_pages, cfg.n_kv_heads, page_size, d_store)
+    tail = (batch, cfg.n_kv_heads, page_size, cfg.head_dim)
+    sdt = precision.storage_dtype
+    n = cfg.n_layers
+    return QuantizedPagedModelCache(
+        qk=tuple(jnp.zeros(pool, sdt) for _ in range(n)),
+        qv=tuple(jnp.zeros(pool, sdt) for _ in range(n)),
+        k_scales=tuple(jnp.ones(pool[:2], jnp.float32)
+                       for _ in range(n)),
+        v_scales=tuple(jnp.ones(pool[:2], jnp.float32)
+                       for _ in range(n)),
+        tail_k=tuple(jnp.zeros(tail, cfg.dtype) for _ in range(n)),
+        tail_v=tuple(jnp.zeros(tail, cfg.dtype) for _ in range(n)),
+        page_table=jnp.arange(batch * max_pages, dtype=jnp.int32
+                              ).reshape(batch, max_pages),
+        full_len=jnp.zeros((batch,), jnp.int32),
+        tail_len=jnp.zeros((batch,), jnp.int32),
+        precision=precision,
+    )
+
+
+def _quantize_page_block(x: jax.Array, precision: OperandPrecision,
+                         d_store: int):
+    """[batch, heads, page, d] bf16 -> (storage [batch, heads, page,
+    d_store], scale [batch, heads]) with the same per-(page, head)
+    absmax scales as `ops.quantize_paged` (padding lanes are zero and
+    do not move the absmax)."""
+    pad = d_store - x.shape[-1]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=(-1, -2))
+    if precision is OperandPrecision.INT8:
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.round(xf / scale[:, :, None, None])
+        return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+    fmax = (448.0 if precision is OperandPrecision.FP8_E4M3
+            else 57344.0)
+    scale = jnp.maximum(absmax, 1e-12) / fmax
+    return ((xf / scale[:, :, None, None])
+            .astype(precision.storage_dtype), scale)
+
+
+def _q_layer_cache(cache: QuantizedPagedModelCache,
+                   li: int) -> QuantizedPagedKVCache:
+    return QuantizedPagedKVCache(
+        cache.qk[li], cache.qv[li], cache.k_scales[li],
+        cache.v_scales[li], cache.page_table, cache.full_len,
+        cache.precision)
+
+
+def _flush_full_pages(cache: QuantizedPagedModelCache, tail_k, tail_v,
+                      added: jax.Array) -> QuantizedPagedModelCache:
+    """Masked page flush: rows whose tail just filled quantize their
+    tail page into the pool page `table[row, full_len // page]` and
+    roll (full_len += page, tail_len = 0).  Fixed-shape: every row
+    quantizes every step; only flushing rows scatter.  Rows sharing
+    the null page (ride-alongs) never flush (added == 0 keeps
+    tail_len < page)."""
+    page = cache.page_size
+    new_tail = cache.tail_len + added
+    flush = new_tail >= page                        # [batch] bool
+    page_idx = cache.full_len // page
+    page_ids = jnp.take_along_axis(cache.page_table,
+                                   page_idx[:, None], axis=1)[:, 0]
+    d_store = cache.qk[0].shape[-1]
+    m = flush[:, None, None, None]
+    qk, qv, ks, vs = [], [], [], []
+    for li in range(len(cache.qk)):
+        knew, ksc = _quantize_page_block(tail_k[li], cache.precision,
+                                         d_store)
+        vnew, vsc = _quantize_page_block(tail_v[li], cache.precision,
+                                         d_store)
+        qk.append(cache.qk[li].at[page_ids].set(
+            jnp.where(m, knew, cache.qk[li][page_ids])))
+        qv.append(cache.qv[li].at[page_ids].set(
+            jnp.where(m, vnew, cache.qv[li][page_ids])))
+        ks.append(cache.k_scales[li].at[page_ids].set(
+            jnp.where(flush[:, None], ksc,
+                      cache.k_scales[li][page_ids])))
+        vs.append(cache.v_scales[li].at[page_ids].set(
+            jnp.where(flush[:, None], vsc,
+                      cache.v_scales[li][page_ids])))
+    return QuantizedPagedModelCache(
+        tuple(qk), tuple(qv), tuple(ks), tuple(vs),
+        tuple(tail_k), tuple(tail_v), cache.page_table,
+        jnp.where(flush, cache.full_len + page, cache.full_len),
+        jnp.where(flush, 0, new_tail), cache.precision)
+
+
+def paged_chunk_step_q(params: dict, tokens: jax.Array,
+                       cfg: llama.LlamaConfig,
+                       cache: QuantizedPagedModelCache
+                       ) -> tuple[jax.Array, QuantizedPagedModelCache]:
+    """Chunk prefill over the quantized paged cache.
+
+    The chunk (<= page_size tokens, entering with an EMPTY tail — the
+    engine's page-aligned chunking guarantees both) writes its K/V to
+    the bf16 tail; attention is the logsumexp merge of
+    - the quantized-prefix partial: chunk positions folded into the
+      row axis of ONE `paged_decode` call (every query attends the
+      whole full-page prefix non-causally, exactly right since the
+      prefix ends before the chunk starts), and
+    - the in-chunk causal partial (`flash_attention`).
+    A full chunk then flushes: the tail page quantizes into the pool
+    with per-(page, head) scales, in-jit, masked per row."""
+    b, kc = tokens.shape
+    page = cache.page_size
+    positions = cache.lengths[:, None] + jnp.arange(kc)[None, :]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][tokens].astype(cfg.dtype)
+    heads = cfg.n_heads
+    tails_k, tails_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
+
+        def write(tp, n):
+            return jax.vmap(
+                lambda cc, nn, pos: jax.lax.dynamic_update_slice(
+                    cc, nn.astype(cc.dtype), (0, pos, 0)))(
+                tp, n, cache.tail_len)
+        kt = write(cache.tail_k[li], k)
+        vt = write(cache.tail_v[li], v)
+        tails_k.append(kt)
+        tails_v.append(vt)
+
+        qd = q.astype(cfg.dtype)
+        # Prefix partial: [b, H, kc, d] -> [b, H*kc, d] keeps
+        # (kv-head, group, position) row order, so the paged kernel's
+        # GQA packing maps every folded row to its kv head.
+        o_pre, lse_pre = paged_decode(
+            qd.reshape(b, heads * kc, cfg.head_dim),
+            _q_layer_cache(cache, li), return_residuals=True)
+        o_pre = o_pre.reshape(b, heads, kc, cfg.head_dim)
+        lse_pre = lse_pre.reshape(b, heads, kc)
+        o_ch, lse_ch = flash_attention(
+            qd, k.astype(cfg.dtype), v.astype(cfg.dtype),
+            causal=True, return_residuals=True)
+        o = _merge_partials(o_pre.astype(jnp.float32), lse_pre,
+                            o_ch.astype(jnp.float32), lse_ch)
+        o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, kc, -1)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, _flush_full_pages(
+        cache, tails_k, tails_v,
+        jnp.full((b,), kc, jnp.int32))
+
+
+def paged_decode_step_q(params: dict, token: jax.Array,
+                        cfg: llama.LlamaConfig,
+                        cache: QuantizedPagedModelCache
+                        ) -> tuple[jax.Array, QuantizedPagedModelCache]:
+    """One decode step over the quantized paged cache: append to the
+    bf16 tail, merge (quantized full pages, tail) partials, flush the
+    tail page when it fills — the streaming counterpart of
+    :func:`decode_step_quantized` over pages."""
+    b = token.shape[0]
+    positions = cache.lengths[:, None]
+    cos, sin = llama.rope_frequencies(cfg, positions)
+    x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    tails_k, tails_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
+
+        def write(tp, n):
+            return jax.vmap(
+                lambda cc, nn, pos: jax.lax.dynamic_update_slice(
+                    cc, nn.astype(cc.dtype), (0, pos, 0)))(
+                tp, n, cache.tail_len)
+        kt = write(cache.tail_k[li], k)
+        vt = write(cache.tail_v[li], v)
+        tails_k.append(kt)
+        tails_v.append(vt)
+
+        qv2 = q[:, :, 0].astype(cfg.dtype)
+        o_pre, lse_pre = paged_decode(qv2, _q_layer_cache(cache, li),
+                                      return_residuals=True)
+        o_tail, lse_tail = flash_decode(
+            qv2, kt, vt, kv_lens=cache.tail_len + 1,
+            return_residuals=True, block_kv=128)
+        o = _merge_partials(o_pre.astype(jnp.float32), lse_pre,
+                            o_tail.astype(jnp.float32), lse_tail)
+        o = o.astype(x.dtype).reshape(b, 1, -1)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = llama.mlp_block(layer, x, cfg)
+    x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
+    return logits, _flush_full_pages(
+        cache, tails_k, tails_v, jnp.ones((b,), jnp.int32))
+
+
+def paged_generate_quantized(params: dict, prompt: jax.Array,
+                             cfg: llama.LlamaConfig, *,
+                             max_new_tokens: int,
+                             precision: OperandPrecision,
+                             page_size: int = 128) -> jax.Array:
+    """Greedy generation entirely over the quantized paged cache
+    (chunked prefill + streaming decode with in-jit page flushes)."""
+    b, s = prompt.shape
+    cache = init_quantized_paged_model_cache(
+        cfg, b, s + max_new_tokens + 1, precision=precision,
+        page_size=page_size)
+    chunk = jax.jit(paged_chunk_step_q, static_argnames=("cfg",))
+    for i in range(0, s, page_size):
+        logits, cache = chunk(params, prompt[:, i:i + page_size], cfg,
+                              cache)
+    step = jax.jit(paged_decode_step_q, static_argnames=("cfg",),
+                   donate_argnums=(3,))
+    tokens = [prompt]
+    token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    for i in range(max_new_tokens):
+        tokens.append(token[:, None])
+        if i + 1 < max_new_tokens:
+            logits, cache = step(params, token, cfg, cache)
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.concatenate(tokens, axis=1)
