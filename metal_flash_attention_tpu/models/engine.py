@@ -102,7 +102,7 @@ class ServingEngine:
                  decode_step=None, admissions_per_step: int = 1,
                  seed: int = 0, prefix_cache: bool = False,
                  kv_sharding=None, draft_fn=None, draft_len: int = 0,
-                 draft_history: int = 16):
+                 draft_history: int = 16, kv_precision=None):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -120,8 +120,42 @@ class ServingEngine:
             z = jnp.zeros(pool_shape, cfg.dtype)
             return z if kv_sharding is None else jax.device_put(
                 z, kv_sharding)
-        self._k = [pool() for _ in range(cfg.n_layers)]
-        self._v = [pool() for _ in range(cfg.n_layers)]
+        # kv_precision: quantized-KV serving — full pages live in
+        # INT8/FP8 pools (per-(page, head) scales) and each slot keeps
+        # one bf16 tail page; completed pages quantize in-jit (masked
+        # flush).  Composes with prefix caching (per-page scales keep
+        # pages shareable); not with speculative mode (chunk rollback
+        # cannot cross a flush), TP sharding, or family step overrides.
+        self._kv_precision = kv_precision
+        if kv_precision is not None:
+            if draft_fn is not None or kv_sharding is not None \
+                    or chunk_step is not None or decode_step is not None:
+                raise ValueError(
+                    "kv_precision is incompatible with draft_fn / "
+                    "kv_sharding / custom step overrides")
+            tail_shape = (max_batch, cfg.n_kv_heads, page_size,
+                          cfg.head_dim)
+            sdt = kv_precision.storage_dtype
+            n = cfg.n_layers
+            self._qk = [jnp.zeros(pool_shape, sdt) for _ in range(n)]
+            self._qv = [jnp.zeros(pool_shape, sdt) for _ in range(n)]
+            self._ks = [jnp.ones(pool_shape[:2], jnp.float32)
+                        for _ in range(n)]
+            self._vs = [jnp.ones(pool_shape[:2], jnp.float32)
+                        for _ in range(n)]
+            self._tail_k = [jnp.zeros(tail_shape, cfg.dtype)
+                            for _ in range(n)]
+            self._tail_v = [jnp.zeros(tail_shape, cfg.dtype)
+                            for _ in range(n)]
+            self._full = np.zeros((max_batch,), np.int32)
+            self._tlen = np.zeros((max_batch,), np.int32)
+            chunk_step = serving.paged_chunk_step_q
+            decode_step = serving.paged_decode_step_q
+            self._k = []
+            self._v = []
+        else:
+            self._k = [pool() for _ in range(cfg.n_layers)]
+            self._v = [pool() for _ in range(cfg.n_layers)]
         # Inactive slots ride along in the batched decode and still
         # write their (garbage) token KV at lengths=0; their table
         # rows point at the allocator's null page (page 0, never
@@ -323,18 +357,55 @@ class ServingEngine:
             pos = req.prefill_pos
             chunk = jnp.asarray(
                 req.prompt[None, pos:pos + self.page_size])
-            cache = serving.PagedModelCache(
-                k=tuple(self._k), v=tuple(self._v),
-                page_table=jnp.asarray(req.pages[None, :]),
-                lengths=jnp.full((1,), pos, jnp.int32))
-            logits, cache = self._chunk(self.params, chunk, self.cfg,
-                                        cache)
-            self._k = list(cache.k)
-            self._v = list(cache.v)
+            if self._kv_precision is None:
+                cache = serving.PagedModelCache(
+                    k=tuple(self._k), v=tuple(self._v),
+                    page_table=jnp.asarray(req.pages[None, :]),
+                    lengths=jnp.full((1,), pos, jnp.int32))
+                logits, cache = self._chunk(self.params, chunk,
+                                            self.cfg, cache)
+                self._k = list(cache.k)
+                self._v = list(cache.v)
+            else:
+                # 1-row view: shared quantized pools, this slot's tail
+                # row.  Chunks start page-aligned, so the tail is
+                # empty at entry (full_len == pos).
+                cache = serving.QuantizedPagedModelCache(
+                    qk=tuple(self._qk), qv=tuple(self._qv),
+                    k_scales=tuple(self._ks),
+                    v_scales=tuple(self._vs),
+                    tail_k=tuple(t[i:i + 1] for t in self._tail_k),
+                    tail_v=tuple(t[i:i + 1] for t in self._tail_v),
+                    page_table=jnp.asarray(req.pages[None, :]),
+                    full_len=jnp.full((1,), pos, jnp.int32),
+                    tail_len=jnp.zeros((1,), jnp.int32),
+                    precision=self._kv_precision)
+                logits, cache = self._chunk(self.params, chunk,
+                                            self.cfg, cache)
+                self._qk = list(cache.qk)
+                self._qv = list(cache.qv)
+                self._ks = list(cache.k_scales)
+                self._vs = list(cache.v_scales)
+                for li in range(len(self._tail_k)):
+                    if self._tail_k[li].shape[0] == 1:
+                        # max_batch == 1: t[0:1] IS the whole array
+                        # (JAX returns full-extent slices uncopied),
+                        # so donation consumed self._tail_*[li] —
+                        # adopt the output rows wholesale.
+                        self._tail_k[li] = cache.tail_k[li]
+                        self._tail_v[li] = cache.tail_v[li]
+                    else:
+                        self._tail_k[li] = self._tail_k[li].at[i].set(
+                            cache.tail_k[li][0])
+                        self._tail_v[li] = self._tail_v[li].at[i].set(
+                            cache.tail_v[li][0])
             req.prefill_pos = pos + chunk.shape[1]
             if req.prefill_pos >= len(req.prompt):
                 self._table[i] = req.pages
                 self._lengths[i] = len(req.prompt)
+                if self._kv_precision is not None:
+                    self._full[i] = int(cache.full_len[0])
+                    self._tlen[i] = int(cache.tail_len[0])
                 if req.temperature > 0.0:
                     tok = int(self._sample(
                         logits[:, -1], self._base_key,
@@ -356,17 +427,44 @@ class ServingEngine:
 
     def _decode_active(self, emitted) -> None:
         tokens = np.zeros((len(self._slots),), np.int32)
+        active = np.zeros((len(self._slots),), bool)
         for i, r in enumerate(self._slots):
             if r is not None and r.next_token is not None:
                 tokens[i] = r.next_token
-        cache = serving.PagedModelCache(
-            k=tuple(self._k), v=tuple(self._v),
-            page_table=jnp.asarray(self._table),
-            lengths=jnp.asarray(self._lengths))
-        logits, cache = self._decode(
-            self.params, jnp.asarray(tokens), self.cfg, cache)
-        self._k = list(cache.k)
-        self._v = list(cache.v)
+                active[i] = True
+        if self._kv_precision is None:
+            cache = serving.PagedModelCache(
+                k=tuple(self._k), v=tuple(self._v),
+                page_table=jnp.asarray(self._table),
+                lengths=jnp.asarray(self._lengths))
+            logits, cache = self._decode(
+                self.params, jnp.asarray(tokens), self.cfg, cache)
+            self._k = list(cache.k)
+            self._v = list(cache.v)
+        else:
+            cache = serving.QuantizedPagedModelCache(
+                qk=tuple(self._qk), qv=tuple(self._qv),
+                k_scales=tuple(self._ks), v_scales=tuple(self._vs),
+                tail_k=tuple(self._tail_k),
+                tail_v=tuple(self._tail_v),
+                page_table=jnp.asarray(self._table),
+                full_len=jnp.asarray(self._full),
+                tail_len=jnp.asarray(self._tlen),
+                precision=self._kv_precision)
+            # active= freezes ride-along rows in-jit: the per-slot
+            # tail has no null-page indirection to absorb their
+            # garbage writes.
+            logits, cache = self._decode(
+                self.params, jnp.asarray(tokens), self.cfg, cache,
+                jnp.asarray(active))
+            self._qk = list(cache.qk)
+            self._qv = list(cache.qv)
+            self._ks = list(cache.k_scales)
+            self._vs = list(cache.v_scales)
+            self._tail_k = list(cache.tail_k)
+            self._tail_v = list(cache.tail_v)
+            self._full = np.asarray(cache.full_len).copy()
+            self._tlen = np.asarray(cache.tail_len).copy()
         active = [r for r in self._slots
                   if r is not None and r.next_token is not None]
         if any(r.temperature > 0.0 for r in active):
@@ -471,5 +569,8 @@ class ServingEngine:
                     self.alloc.release_pages(r.borrowed)
                 self._table[i] = 0
                 self._lengths[i] = 0
+                if self._kv_precision is not None:
+                    self._full[i] = 0
+                    self._tlen[i] = 0
                 self._done[r.rid] = r
                 self._slots[i] = None

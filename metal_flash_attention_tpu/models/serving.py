@@ -1036,25 +1036,36 @@ def paged_chunk_step_q(params: dict, tokens: jax.Array,
 
 def paged_decode_step_q(params: dict, token: jax.Array,
                         cfg: llama.LlamaConfig,
-                        cache: QuantizedPagedModelCache
+                        cache: QuantizedPagedModelCache,
+                        active: Optional[jax.Array] = None
                         ) -> tuple[jax.Array, QuantizedPagedModelCache]:
     """One decode step over the quantized paged cache: append to the
     bf16 tail, merge (quantized full pages, tail) partials, flush the
     tail page when it fills — the streaming counterpart of
-    :func:`decode_step_quantized` over pages."""
+    :func:`decode_step_quantized` over pages.
+
+    ``active`` (bool [batch], optional): rows marked False are frozen
+    — no tail write, no length advance, no flush.  The engine's
+    ride-along rows need this because the tail is per-SLOT storage
+    with no null-page indirection to absorb garbage writes (unlike
+    the page-table-routed pool writes of the bf16 engine)."""
     b = token.shape[0]
     positions = cache.lengths[:, None]
     cos, sin = llama.rope_frequencies(cfg, positions)
     x = params["embed"][token][:, None, :].astype(cfg.dtype)
+    freeze = None if active is None else ~active
     tails_k, tails_v = [], []
     for li, layer in enumerate(params["layers"]):
         q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
 
         def write(tp, n):
-            return jax.vmap(
+            new = jax.vmap(
                 lambda cc, nn, pos: jax.lax.dynamic_update_slice(
                     cc, nn.astype(cc.dtype), (0, pos, 0)))(
                 tp, n, cache.tail_len)
+            if freeze is None:
+                return new
+            return jnp.where(freeze[:, None, None, None], tp, new)
         kt = write(cache.tail_k[li], k)
         vt = write(cache.tail_v[li], v)
         tails_k.append(kt)
@@ -1073,8 +1084,9 @@ def paged_decode_step_q(params: dict, token: jax.Array,
         x = llama.mlp_block(layer, x, cfg)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
-    return logits, _flush_full_pages(
-        cache, tails_k, tails_v, jnp.ones((b,), jnp.int32))
+    added = (jnp.ones((b,), jnp.int32) if active is None
+             else active.astype(jnp.int32))
+    return logits, _flush_full_pages(cache, tails_k, tails_v, added)
 
 
 def paged_generate_quantized(params: dict, prompt: jax.Array,
@@ -1094,11 +1106,17 @@ def paged_generate_quantized(params: dict, prompt: jax.Array,
                               cache)
     step = jax.jit(paged_decode_step_q, static_argnames=("cfg",),
                    donate_argnums=(3,))
+    # Trace with an (all-True) active mask so this loop compiles the
+    # SAME computation as the continuous-batching engine at equal
+    # batch — the jnp-level quantized step is only bitwise
+    # reproducible across runs that share one XLA fusion, and the
+    # engine tests use this function as their bit-exact oracle.
+    live = jnp.ones((b,), bool)
     tokens = [prompt]
     token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     for i in range(max_new_tokens):
         tokens.append(token[:, None])
         if i + 1 < max_new_tokens:
-            logits, cache = step(params, token, cfg, cache)
+            logits, cache = step(params, token, cfg, cache, live)
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.concatenate(tokens, axis=1)

@@ -104,3 +104,103 @@ def test_quantized_paged_generate_runs(setup):
     ref = serving.paged_generate(params, prompt, cfg,
                                  max_new_tokens=6, page_size=16)
     assert out[:, 40].tolist() == np.asarray(ref)[:, 40].tolist()
+
+
+def test_engine_quantized_kv_matches_standalone(setup):
+    """ServingEngine(kv_precision=INT8) at max_batch=1 reproduces the
+    standalone paged_generate_quantized stream bitwise — same batch
+    shape, so the whole flush/view/copyback bookkeeping is exercised
+    with a bit-exact oracle.  (Across DIFFERENT batch shapes XLA fuses
+    the jnp-level quantized step differently and reassociates at bf16
+    scale, so cross-batch bitwise equality is deliberately not part of
+    the quantized contract — unlike the Pallas-kernel-dominated bf16
+    path.  The cross-slot contract is composition invariance, next
+    test.)"""
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg, params, _ = setup
+    rng = np.random.default_rng(33)
+    page = 16
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (40, 21)]
+    max_new = [12, 9]
+    refs = [serving.paged_generate_quantized(
+        params, jnp.asarray(p[None]), cfg, max_new_tokens=m,
+        precision=OperandPrecision.INT8, page_size=page)[0]
+        for p, m in zip(prompts, max_new)]
+
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=32,
+                        page_size=page, max_seq=128,
+                        kv_precision=OperandPrecision.INT8)
+    rids = [eng.submit(p, m) for p, m in zip(prompts, max_new)]
+    steps = 0
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 120
+    for rid, ref in zip(rids, refs):
+        assert eng.result(rid).tolist() == np.asarray(ref).tolist(), rid
+    assert eng.alloc.free_pages == 32 - 1
+
+
+def test_engine_quantized_kv_batch_composition_invariant(setup):
+    """At a fixed max_batch the quantized engine is batch-composition
+    invariant: a request's stream is identical whether it runs alone
+    (companion slot riding along frozen) or alongside a staggered
+    second request — the in-jit active-mask freeze keeps ride-along
+    rows from perturbing anything."""
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg, params, _ = setup
+    rng = np.random.default_rng(35)
+    page = 16
+    p_main = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
+    p_side = rng.integers(0, cfg.vocab_size, (21,)).astype(np.int32)
+
+    def run(with_side):
+        eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=page, max_seq=128,
+                            kv_precision=OperandPrecision.INT8)
+        rid = eng.submit(p_main, 12)
+        if with_side:
+            rid_s = eng.submit(p_side, 9)
+        steps = 0
+        while not eng.idle:
+            eng.step()
+            steps += 1
+            assert steps < 80
+        return eng.result(rid).tolist()
+
+    assert run(False) == run(True)
+
+
+def test_engine_quantized_kv_with_prefix_cache(setup):
+    """Quantized KV + automatic prefix caching compose: per-page
+    scales keep quantized pages shareable, so a repeated prompt
+    borrows them and still reproduces the first run bitwise."""
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg, params, _ = setup
+    rng = np.random.default_rng(34)
+    page = 16
+    prompt = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
+
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=32,
+                        page_size=page, max_seq=128,
+                        kv_precision=OperandPrecision.INT8,
+                        prefix_cache=True)
+
+    def run():
+        rid = eng.submit(prompt, 8)
+        steps = 0
+        while not eng.idle:
+            eng.step()
+            steps += 1
+            assert steps < 60
+        return eng.result(rid).tolist(), steps
+
+    out1, steps1 = run()
+    out2, steps2 = run()
+    assert out2 == out1
+    assert eng.prefix_cache.hit_tokens == 32   # 2 quantized pages hit
+    assert steps2 < steps1
