@@ -166,13 +166,15 @@ def bench_paged(*, floor, precision=None):
     return batch / secs  # tokens/s/chip
 
 
-def bench_engine(*, floor):
+def bench_engine(*, floor, kv_precision=None):
     """Continuous-batching engine steady-state decode vs a raw
     `paged_decode_step` loop at the same batch (VERDICT r1 weak #4:
     the engine must sit within ~10% of the raw step).  Both paths pay
     one host round-trip per step (the engine reads emitted tokens
     back; the raw loop matches with an explicit readback), so the
-    per-step tunnel floor is subtracted from each."""
+    per-step tunnel floor is subtracted from each.
+    kv_precision=INT8/FP8 measures the quantized-KV engine mode
+    against the same bf16 raw-step yardstick."""
     import time
 
     from metal_flash_attention_tpu.models import llama, serving
@@ -186,7 +188,7 @@ def bench_engine(*, floor):
     prompts = rng.integers(1, cfg.vocab_size, (batch, prompt_len))
 
     eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
-                        max_seq=1024)
+                        max_seq=1024, kv_precision=kv_precision)
     for i in range(batch):
         eng.submit(prompts[i], 512)
     for _ in range(batch + 2):     # admissions + jit warmup
@@ -442,6 +444,17 @@ def main():
               f"({eng_tok / max(raw_tok, 1e-9):5.1%})", file=err)
     except Exception as e:
         print(f"# engine decode: FAIL {type(e).__name__}: {e}", file=err)
+
+    try:
+        eng_tok, raw_tok = retry_once(bench_engine, floor=floor,
+                                      kv_precision=OperandPrecision.INT8)
+        print(f"# engine decode int8-KV (4L d2048, b=4): "
+              f"{eng_tok:7.0f} tok/s "
+              f"({eng_tok / max(raw_tok, 1e-9):5.1%} of bf16 raw step)",
+              file=err)
+    except Exception as e:
+        print(f"# engine int8-KV: FAIL {type(e).__name__}: {e}",
+              file=err)
 
     try:
         cold, warm = retry_once(bench_prefix_cache, floor=floor)
