@@ -119,3 +119,43 @@ def test_speculative_engine_stop_tokens_and_validation(setup):
     out, _ = _drain(eng, [rid])
     assert out[0] == ref[0][:len(prompts[0]) + first_hit + 1]
     assert eng.alloc.free_pages == 32 - 1
+
+
+def test_speculative_engine_with_prefix_cache(setup):
+    """Speculative verify rounds compose with automatic prefix
+    caching: rounds only write at positions >= len(prompt), so
+    borrowed pages stay read-only, and the repeated prompt reuses its
+    pages while streams still equal plain greedy."""
+    cfg, params, prompts = setup
+    plain = ServingEngine(params, cfg, max_batch=1, num_pages=32,
+                          max_seq=128)
+    rid = plain.submit(prompts[1], 8)     # 15-token prompt
+    steps = 0
+    while not plain.idle:
+        plain.step()
+        steps += 1
+        assert steps < 60
+    ref = plain.result(rid).tolist()
+
+    def draft_fn(last, history):
+        return jnp.zeros((last.shape[0], 2), jnp.int32)
+
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=32,
+                        max_seq=128, page_size=8,
+                        draft_fn=draft_fn, draft_len=2,
+                        prefix_cache=True)
+
+    def run():
+        r = eng.submit(prompts[1], 8)
+        n = 0
+        while not eng.idle:
+            eng.step()
+            n += 1
+            assert n < 60
+        return eng.result(r).tolist()
+
+    out1 = run()
+    out2 = run()
+    assert out1 == ref
+    assert out2 == ref
+    assert eng.prefix_cache.hit_tokens == 8   # 1 page (page_size=8)
