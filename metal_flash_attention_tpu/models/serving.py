@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.models import llama
@@ -1120,3 +1121,112 @@ def paged_generate_quantized(params: dict, prompt: jax.Array,
             logits, cache = step(params, token, cfg, cache, live)
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.concatenate(tokens, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _beam_step(params, cfg, cache: KVCache, tokens, scores, finished,
+               num_beams: int, eos_token: int):
+    """One beam-search step over the flattened [batch*beams] cache:
+    decode, expand each live beam by the whole vocab, keep the top
+    num_beams (finished beams survive as single frozen candidates),
+    and reorder the cache rows to follow their parent beams."""
+    b_k = tokens.shape[0]
+    k = num_beams
+    b = b_k // k
+    logits, cache = decode_step(params, tokens, cfg, cache)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    vocab = logp.shape[-1]
+    logp = logp.reshape(b, k, vocab)
+    # A finished beam contributes exactly ONE candidate (eos, score
+    # frozen); live beams contribute their full expansion.
+    frozen = jnp.full((b, k, vocab), -jnp.inf)
+    frozen = frozen.at[:, :, eos_token].set(0.0)
+    cand = scores[:, :, None] + jnp.where(finished[:, :, None],
+                                          frozen, logp)
+    flat = cand.reshape(b, k * vocab)
+    new_scores, idx = jax.lax.top_k(flat, k)          # [b, k]
+    parent = idx // vocab                             # [b, k]
+    tok = (idx % vocab).astype(jnp.int32)
+    rows = (jnp.arange(b)[:, None] * k + parent).reshape(b_k)
+    cache = KVCache(
+        k=[jnp.take(c, rows, axis=0) for c in cache.k],
+        v=[jnp.take(c, rows, axis=0) for c in cache.v],
+        lengths=jnp.take(cache.lengths, rows, 0))
+    new_finished = jnp.take_along_axis(finished, parent, axis=1) \
+        | (tok == eos_token)
+    return cache, tok.reshape(b_k), new_scores, new_finished, parent
+
+
+def beam_generate(params: dict, prompt: jax.Array,
+                  cfg: llama.LlamaConfig, *, num_beams: int,
+                  max_new_tokens: int, eos_token: Optional[int] = None,
+                  length_penalty: float = 1.0,
+                  max_seq: Optional[int] = None):
+    """Beam search over the dense KV cache (HF `num_beams` semantics).
+
+    Beams ride as batch rows ([batch*beams] — one fixed-shape jit per
+    step, cache rows gathered to follow their parents), so the TPU
+    sees an ordinary batched decode.  A beam that emits ``eos_token``
+    freezes: its score stops accumulating and it survives as a single
+    candidate until the search ends.  Unlike HF there is no early
+    termination — every search runs exactly ``max_new_tokens`` steps
+    (fixed work, no data-dependent host loop) and hypotheses are
+    ranked at the end by ``score / len(generated)**length_penalty``.
+
+    Returns ``(sequences [batch, num_beams, prompt+max_new] int32,
+    scores [batch, num_beams] fp32)``, best beam first; positions
+    after a beam's eos are padded with ``eos_token``.
+    """
+    b, s = prompt.shape
+    k = num_beams
+    eos = -1 if eos_token is None else int(eos_token)
+    max_seq = max_seq or (s + max_new_tokens)
+    cache = init_cache(cfg, b, max_seq)
+    logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
+        params, prompt, cfg, cache)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    scores, tok0 = jax.lax.top_k(logp, k)             # [b, k]
+    tok0 = tok0.astype(jnp.int32)
+    cache = KVCache(
+        k=[jnp.repeat(c, k, axis=0) for c in cache.k],
+        v=[jnp.repeat(c, k, axis=0) for c in cache.v],
+        lengths=jnp.repeat(cache.lengths, k, 0))
+    finished = tok0 == eos
+    seqs = np.zeros((b, k, max_new_tokens), np.int32)
+    seqs[:, :, 0] = np.asarray(tok0)
+    gen_len = np.where(np.asarray(finished), 1, max_new_tokens)
+
+    step = jax.jit(_beam_step,
+                   static_argnames=("cfg", "num_beams", "eos_token"),
+                   donate_argnums=(2,))
+    tokens = tok0.reshape(b * k)
+    for t in range(1, max_new_tokens):
+        cache, tokens, scores, new_finished, parent = step(
+            params, cfg, cache, tokens, scores, finished,
+            num_beams=k, eos_token=eos)
+        parent = np.asarray(parent)
+        # Reorder host-side sequence history to follow parents.
+        seqs = np.take_along_axis(seqs, parent[:, :, None], axis=1)
+        gen_len = np.take_along_axis(gen_len, parent, axis=1)
+        seqs[:, :, t] = np.asarray(tokens).reshape(b, k)
+        was_finished = np.take_along_axis(np.asarray(finished),
+                                          parent, axis=1)
+        now_finished = np.asarray(new_finished)
+        just = now_finished & ~was_finished
+        gen_len = np.where(just, t + 1, gen_len)
+        # Pad frozen beams with eos.
+        seqs[:, :, t] = np.where(was_finished, eos, seqs[:, :, t])
+        finished = new_finished
+
+    final = np.asarray(scores, np.float32) / np.maximum(
+        gen_len, 1).astype(np.float32) ** length_penalty
+    order = np.argsort(-final, axis=1)
+    final = np.take_along_axis(final, order, axis=1)
+    seqs = np.take_along_axis(seqs, order[:, :, None], axis=1)
+    full = np.concatenate(
+        [np.broadcast_to(np.asarray(prompt)[:, None, :], (b, k, s)),
+         seqs], axis=2)
+    return jnp.asarray(full), jnp.asarray(final)
