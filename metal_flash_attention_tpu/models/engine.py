@@ -135,13 +135,22 @@ class ServingEngine:
                     "kv_sharding / custom step overrides")
             tail_shape = (max_batch, cfg.n_kv_heads, page_size,
                           cfg.head_dim)
-            sdt = kv_precision.storage_dtype
+            from metal_flash_attention_tpu.descriptors.precision import (
+                OperandPrecision,
+            )
+            if kv_precision is OperandPrecision.NF4:
+                sdt = jnp.uint8   # two tokens nibble-packed per row
+                qpool = pool_shape[:2] + (page_size // 2,
+                                          pool_shape[3])
+            else:
+                sdt = kv_precision.storage_dtype
+                qpool = pool_shape
             n = cfg.n_layers
-            self._qk = [jnp.zeros(pool_shape, sdt) for _ in range(n)]
-            self._qv = [jnp.zeros(pool_shape, sdt) for _ in range(n)]
-            self._ks = [jnp.ones(pool_shape[:2], jnp.float32)
+            self._qk = [jnp.zeros(qpool, sdt) for _ in range(n)]
+            self._qv = [jnp.zeros(qpool, sdt) for _ in range(n)]
+            self._ks = [jnp.ones(qpool[:2], jnp.float32)
                         for _ in range(n)]
-            self._vs = [jnp.ones(pool_shape[:2], jnp.float32)
+            self._vs = [jnp.ones(qpool[:2], jnp.float32)
                         for _ in range(n)]
             self._tail_k = [jnp.zeros(tail_shape, cfg.dtype)
                             for _ in range(n)]

@@ -873,21 +873,27 @@ def init_quantized_paged_model_cache(
         precision: OperandPrecision, page_size: int = 128,
         num_pages: Optional[int] = None) -> QuantizedPagedModelCache:
     """Zero-initialized quantized pools + bf16 tails (contiguous page
-    assignment, like :func:`init_paged_model_cache`).  INT8 and both
-    FP8 formats are supported; NF4 needs nibble re-packing in the
-    flush and is not wired here (use `quantize_paged` for
-    static-prefix NF4)."""
+    assignment, like :func:`init_paged_model_cache`).  INT8, both FP8
+    formats, and NF4 (nibble-packed at flush) are supported."""
     if precision not in (OperandPrecision.INT8,
                          OperandPrecision.FP8_E4M3,
-                         OperandPrecision.FP8_E5M2):
+                         OperandPrecision.FP8_E5M2,
+                         OperandPrecision.NF4):
         raise ValueError(f"unsupported streaming KV precision: "
                          f"{precision}")
     max_pages = -(-max_seq // page_size)
     num_pages = num_pages or batch * max_pages
     d_store = round_up(cfg.head_dim, MIN_LANES)
-    pool = (num_pages, cfg.n_kv_heads, page_size, d_store)
+    # NF4 pools nibble-pack two tokens per byte row (row-split layout,
+    # ops.quantize_paged) — page/2 storage rows; streaming NF4 works
+    # because only COMPLETE pages ever flush, so the whole page packs
+    # in one shot.
+    rows = page_size // 2 if precision is OperandPrecision.NF4 \
+        else page_size
+    pool = (num_pages, cfg.n_kv_heads, rows, d_store)
     tail = (batch, cfg.n_kv_heads, page_size, cfg.head_dim)
-    sdt = precision.storage_dtype
+    sdt = (jnp.uint8 if precision is OperandPrecision.NF4
+           else precision.storage_dtype)
     n = cfg.n_layers
     return QuantizedPagedModelCache(
         qk=tuple(jnp.zeros(pool, sdt) for _ in range(n)),
@@ -921,6 +927,15 @@ def _quantize_page_block(x: jax.Array, precision: OperandPrecision,
         scale = jnp.maximum(absmax, 1e-12) / 127.0
         q = jnp.round(xf / scale[:, :, None, None])
         return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+    if precision is OperandPrecision.NF4:
+        from metal_flash_attention_tpu.ops.quantization import (
+            nf4_nearest_indices,
+        )
+        ps = x.shape[2]
+        scale = jnp.maximum(absmax, 1e-12)
+        idx = nf4_nearest_indices(xf / scale[:, :, None, None])
+        lo, hi = idx[:, :, :ps // 2], idx[:, :, ps // 2:]
+        return (lo | (hi << 4)).astype(jnp.uint8), scale
     fmax = (448.0 if precision is OperandPrecision.FP8_E4M3
             else 57344.0)
     scale = jnp.maximum(absmax, 1e-12) / fmax

@@ -47,6 +47,7 @@ def _bf16_steps(cfg, params, prompt, page, n_steps):
 @pytest.mark.parametrize("precision,tol", [
     (OperandPrecision.INT8, 0.5),
     (OperandPrecision.FP8_E4M3, 0.8),
+    (OperandPrecision.NF4, 1.6),
 ])
 def test_quantized_paged_tracks_bf16(setup, precision, tol):
     """40-token prompt at page=16 (2 flushed pages + 8-token tail),
