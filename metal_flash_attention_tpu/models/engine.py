@@ -83,6 +83,10 @@ class _Request:
     next_token: Optional[int] = None
     pages: Optional[np.ndarray] = None   # reserved page ids
     prefill_pos: int = 0                 # tokens prefilled so far
+    submitted_step: int = -1             # engine step counters
+    admitted_step: int = -1
+    first_token_step: int = -1
+    done_step: int = -1
 
 
 class ServingEngine:
@@ -198,6 +202,10 @@ class ServingEngine:
         self._base_key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(_sample_rows)
         self._logprob = jax.jit(_logprob_rows)
+        # Observability counters (see .stats / .request_stats).
+        self.n_steps = 0
+        self.n_emitted = 0
+        self.n_prefill_chunks = 0
         # Speculative continuous batching: when draft_fn is given the
         # batched decode becomes a batched VERIFY round — every active
         # slot checks its own draft_len-token draft in one fixed-shape
@@ -262,7 +270,8 @@ class ServingEngine:
             temperature=float(temperature), top_k=int(top_k),
             top_p=float(top_p),
             stop=frozenset(int(t) for t in stop_tokens),
-            want_logprobs=bool(logprobs)))
+            want_logprobs=bool(logprobs),
+            submitted_step=self.n_steps))
         return rid
 
     @property
@@ -272,6 +281,36 @@ class ServingEngine:
     def result(self, rid: int) -> np.ndarray:
         req = self._done[rid]
         return np.concatenate([req.prompt, np.asarray(req.out, np.int32)])
+
+    @property
+    def stats(self) -> dict:
+        """Engine-level counters: steps run, tokens emitted, prefill
+        chunks executed, live queue/slot occupancy, free pool pages,
+        and prefix-cache reuse (when enabled)."""
+        d = {
+            "steps": self.n_steps,
+            "emitted_tokens": self.n_emitted,
+            "prefill_chunks": self.n_prefill_chunks,
+            "queue_depth": len(self._queue),
+            "active_slots": sum(r is not None for r in self._slots),
+            "free_pages": self.alloc.free_pages,
+        }
+        if self.prefix_cache is not None:
+            d["prefix_hit_tokens"] = self.prefix_cache.hit_tokens
+            d["prefix_cached_pages"] = len(self.prefix_cache)
+        return d
+
+    def request_stats(self, rid: int) -> dict:
+        """Per-request lifecycle in engine steps: queue wait,
+        time-to-first-token, total residency, tokens generated.
+        Available once the request is done."""
+        req = self._done[rid]
+        return {
+            "queue_steps": req.admitted_step - req.submitted_step,
+            "ttft_steps": req.first_token_step - req.submitted_step,
+            "total_steps": req.done_step - req.submitted_step,
+            "generated": len(req.out),
+        }
 
     def result_logprobs(self, rid: int) -> np.ndarray:
         """Per-generated-token log-probabilities (aligned with the
@@ -286,6 +325,7 @@ class ServingEngine:
     def step(self) -> list[tuple[int, int]]:
         """One engine iteration; returns the (request_id, token) pairs
         emitted this step."""
+        self.n_steps += 1
         emitted: list[tuple[int, int]] = []
         for _ in range(self.admissions_per_step):
             if not self._admit():
@@ -298,6 +338,7 @@ class ServingEngine:
             else:
                 self._decode_active(emitted)
         self._retire()
+        self.n_emitted += len(emitted)
         return emitted
 
     # -- internals --------------------------------------------------------
@@ -347,6 +388,7 @@ class ServingEngine:
                 return False    # retry after a retirement
         self._queue.popleft()
         req.slot = free
+        req.admitted_step = self.n_steps
         req.borrowed = borrowed
         req.pages = np.zeros((self.max_pages,), np.int32)
         req.pages[:len(borrowed)] = borrowed
@@ -364,6 +406,7 @@ class ServingEngine:
             if req is None or req.next_token is not None:
                 continue
             pos = req.prefill_pos
+            self.n_prefill_chunks += 1
             chunk = jnp.asarray(
                 req.prompt[None, pos:pos + self.page_size])
             if self._kv_precision is None:
@@ -426,6 +469,7 @@ class ServingEngine:
                 else:
                     tok = int(jnp.argmax(logits[0, -1]))
                 req.next_token = tok
+                req.first_token_step = self.n_steps
                 req.out.append(req.next_token)
                 req.finished = tok in req.stop
                 if req.want_logprobs:
@@ -576,6 +620,7 @@ class ServingEngine:
                 self.alloc.release(i)
                 if r.borrowed:
                     self.alloc.release_pages(r.borrowed)
+                r.done_step = self.n_steps
                 self._table[i] = 0
                 self._lengths[i] = 0
                 if self._kv_precision is not None:

@@ -292,3 +292,36 @@ def test_engine_logprobs(setup):
         eng.step()
     with pytest.raises(ValueError):
         eng.result_logprobs(rid2)
+
+
+def test_engine_stats(setup):
+    """Observability: engine counters and per-request lifecycle."""
+    cfg, params = setup
+    rng = np.random.default_rng(17)
+    p = rng.integers(0, cfg.vocab_size, (20,)).astype(np.int32)
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                        page_size=16, max_seq=96)
+    r0 = eng.submit(p, 4)
+    r1 = eng.submit(p[:8], 3)
+    steps = 0
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 60
+    st = eng.stats
+    assert st["steps"] == steps
+    # every generated token was emitted exactly once
+    assert st["emitted_tokens"] == 4 + 3
+    # 20-token prompt at page=16 -> 2 chunks; 8-token prompt -> 1
+    assert st["prefill_chunks"] == 3
+    assert st["queue_depth"] == 0 and st["active_slots"] == 0
+    assert st["free_pages"] == 16 - 1
+
+    s0 = eng.request_stats(r0)
+    assert s0["generated"] == 4
+    assert s0["queue_steps"] == 1          # admitted at first step
+    assert s0["ttft_steps"] == 2           # two prefill chunks
+    assert s0["total_steps"] >= s0["ttft_steps"]
+    s1 = eng.request_stats(r1)
+    assert s1["queue_steps"] > 1           # waited for the only slot
+    assert s1["generated"] == 3
