@@ -83,6 +83,7 @@ class _Request:
     next_token: Optional[int] = None
     pages: Optional[np.ndarray] = None   # reserved page ids
     prefill_pos: int = 0                 # tokens prefilled so far
+    lora_id: int = 0                     # adapter row (0 = base)
     submitted_step: int = -1             # engine step counters
     admitted_step: int = -1
     first_token_step: int = -1
@@ -106,7 +107,8 @@ class ServingEngine:
                  decode_step=None, admissions_per_step: int = 1,
                  seed: int = 0, prefix_cache: bool = False,
                  kv_sharding=None, draft_fn=None, draft_len: int = 0,
-                 draft_history: int = 16, kv_precision=None):
+                 draft_history: int = 16, kv_precision=None,
+                 lora=None):
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -131,6 +133,15 @@ class ServingEngine:
         # pages shareable); not with speculative mode (chunk rollback
         # cannot cross a flush), TP sharding, or family step overrides.
         self._kv_precision = kv_precision
+        # lora: stacked multi-adapter LoRA (models/lora.py) — each
+        # request picks an adapter at submit(lora_id=...); rows with
+        # different adapters share every fixed-shape step.
+        self._lora = lora
+        if lora is not None and (draft_fn is not None
+                                 or kv_precision is not None):
+            raise ValueError(
+                "lora is not wired into the speculative/quantized "
+                "step functions yet")
         if kv_precision is not None:
             if draft_fn is not None or kv_sharding is not None \
                     or chunk_step is not None or decode_step is not None:
@@ -244,7 +255,7 @@ class ServingEngine:
     def submit(self, prompt, max_new_tokens: int, *,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 1.0, stop_tokens=(),
-               logprobs: bool = False) -> int:
+               logprobs: bool = False, lora_id: int = 0) -> int:
         """Queue a request.  temperature=0 (default) decodes greedily;
         temperature>0 samples with optional top-k / nucleus filters.
         Sampled streams are a pure function of (engine seed, request
@@ -258,6 +269,8 @@ class ServingEngine:
         ``logprobs``: record log P(token | context) under the model's
         unfiltered distribution for every generated token; read them
         back with :meth:`result_logprobs`."""
+        if lora_id != 0 and self._lora is None:
+            raise ValueError("engine built without lora adapters")
         if self._draft_fn is not None and (temperature > 0 or logprobs):
             raise ValueError(
                 "speculative engine mode is greedy-only (the verify "
@@ -270,7 +283,7 @@ class ServingEngine:
             temperature=float(temperature), top_k=int(top_k),
             top_p=float(top_p),
             stop=frozenset(int(t) for t in stop_tokens),
-            want_logprobs=bool(logprobs),
+            want_logprobs=bool(logprobs), lora_id=int(lora_id),
             submitted_step=self.n_steps))
         return rid
 
@@ -414,8 +427,11 @@ class ServingEngine:
                     k=tuple(self._k), v=tuple(self._v),
                     page_table=jnp.asarray(req.pages[None, :]),
                     lengths=jnp.full((1,), pos, jnp.int32))
+                kw = ({} if self._lora is None else dict(
+                    lora=self._lora,
+                    lora_ids=jnp.full((1,), req.lora_id, jnp.int32)))
                 logits, cache = self._chunk(self.params, chunk,
-                                            self.cfg, cache)
+                                            self.cfg, cache, **kw)
                 self._k = list(cache.k)
                 self._v = list(cache.v)
             else:
@@ -490,8 +506,17 @@ class ServingEngine:
                 k=tuple(self._k), v=tuple(self._v),
                 page_table=jnp.asarray(self._table),
                 lengths=jnp.asarray(self._lengths))
+            if self._lora is None:
+                kw = {}
+            else:
+                ids = np.zeros((len(self._slots),), np.int32)
+                for i, r in enumerate(self._slots):
+                    if r is not None:
+                        ids[i] = r.lora_id
+                kw = dict(lora=self._lora, lora_ids=jnp.asarray(ids))
             logits, cache = self._decode(
-                self.params, jnp.asarray(tokens), self.cfg, cache)
+                self.params, jnp.asarray(tokens), self.cfg, cache,
+                **kw)
             self._k = list(cache.k)
             self._v = list(cache.v)
         else:

@@ -94,19 +94,39 @@ def prefill(params: dict, tokens: jax.Array, cfg: llama.LlamaConfig,
 
 
 def _layer_qkv(layer: dict, x: jax.Array, cfg: llama.LlamaConfig,
-               cos, sin):
+               cos, sin, lora_layer=None, lora_ids=None):
     """Shared pre-attention block: norm -> QKV projections -> rope.
     Returns q [b, qh, s, d], k/v [b, kvh, s, d] — used by every
     llama-family decode/chunk step so the projection plumbing lives in
-    one place."""
+    one place.  ``lora_layer``/``lora_ids``: per-row multi-adapter
+    LoRA deltas on the q/k/v projections (models/lora.py)."""
+    from metal_flash_attention_tpu.models.lora import apply_lora
+
     b, s, _ = x.shape
     h = llama.rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = (h @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
-    k = (h @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    v = (h @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+
+    def proj(name):
+        y = h @ layer[name]
+        if lora_layer is not None and name in lora_layer:
+            y = y + apply_lora(h, lora_layer[name], lora_ids)
+        return y
+    q = proj("wq").reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = proj("wk").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = proj("wv").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
     q = llama.apply_rope(q.transpose(0, 2, 1, 3), cos, sin)
     k = llama.apply_rope(k.transpose(0, 2, 1, 3), cos, sin)
     return q, k, v.transpose(0, 2, 1, 3)
+
+
+def _wo_proj(o: jax.Array, layer: dict, lora_layer=None,
+             lora_ids=None) -> jax.Array:
+    """Output projection with optional per-row LoRA delta."""
+    from metal_flash_attention_tpu.models.lora import apply_lora
+
+    y = o @ layer["wo"]
+    if lora_layer is not None and "wo" in lora_layer:
+        y = y + apply_lora(o, lora_layer["wo"], lora_ids)
+    return y
 
 
 def decode_step(params: dict, token: jax.Array, cfg: llama.LlamaConfig,
@@ -423,7 +443,8 @@ def _paged_attn_tp(fn, mesh, q: jax.Array, layer_cache: PagedKVCache,
 
 def paged_chunk_step(params: dict, tokens: jax.Array,
                      cfg: llama.LlamaConfig, cache: PagedModelCache,
-                     mesh=None) -> tuple[jax.Array, PagedModelCache]:
+                     mesh=None, lora=None, lora_ids=None
+                     ) -> tuple[jax.Array, PagedModelCache]:
     """Consume a chunk of tokens (positions lengths..lengths+k-1):
     write their K/V into the pools and return per-position logits
     [batch, k, vocab].  Serves both prompt prefill (lengths = 0) and
@@ -436,14 +457,18 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
     kv-heads axis; the paged kernel runs as a shard_map island per
     device while GSPMD partitions the GEMMs (row-parallel wo/w_down
     psums inserted by XLA).  Pass via functools.partial so the
-    engine's jit closure captures it."""
+    engine's jit closure captures it.
+
+    ``lora``/``lora_ids``: multi-adapter LoRA — per-row adapter
+    selection on the attention projections (models/lora.py)."""
     b, kc = tokens.shape
     positions = cache.lengths[:, None] + jnp.arange(kc)[None, :]
     cos, sin = llama.rope_frequencies(cfg, positions)
     x = params["embed"][tokens].astype(cfg.dtype)
     k_pools, v_pools = [], []
     for li, layer in enumerate(params["layers"]):
-        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
+        ll = None if lora is None else lora["layers"][li]
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin, ll, lora_ids)
 
         layer_cache = paged_append_chunk(
             PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
@@ -456,7 +481,7 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
             o = _paged_attn_tp(paged_prefill, mesh,
                                q.astype(cfg.dtype), layer_cache)
         o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
-        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
         x = llama.mlp_block(layer, x, cfg)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
@@ -467,18 +492,21 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
 
 def paged_decode_step(params: dict, token: jax.Array,
                       cfg: llama.LlamaConfig, cache: PagedModelCache,
-                      mesh=None) -> tuple[jax.Array, PagedModelCache]:
+                      mesh=None, lora=None, lora_ids=None
+                      ) -> tuple[jax.Array, PagedModelCache]:
     """One plain decode step over the paged cache (the vLLM-style
     counterpart of :func:`decode_step`): append the token's K/V rows,
-    attend via `ops.paged_decode`.  ``mesh``: tensor-parallel serving
-    (see :func:`paged_chunk_step`)."""
+    attend via `ops.paged_decode`.  ``mesh``: tensor-parallel serving;
+    ``lora``/``lora_ids``: per-row multi-adapter LoRA (see
+    :func:`paged_chunk_step`)."""
     b = token.shape[0]
     positions = cache.lengths[:, None]
     cos, sin = llama.rope_frequencies(cfg, positions)
     x = params["embed"][token][:, None, :].astype(cfg.dtype)
     k_pools, v_pools = [], []
     for li, layer in enumerate(params["layers"]):
-        q, k, v = _layer_qkv(layer, x, cfg, cos, sin)
+        ll = None if lora is None else lora["layers"][li]
+        q, k, v = _layer_qkv(layer, x, cfg, cos, sin, ll, lora_ids)
         layer_cache = paged_append_chunk(
             PagedKVCache(cache.k[li], cache.v[li], cache.page_table,
                          cache.lengths), k, v)
@@ -490,7 +518,8 @@ def paged_decode_step(params: dict, token: jax.Array,
             o = _paged_attn_tp(paged_decode, mesh,
                                q[:, :, 0].astype(cfg.dtype),
                                layer_cache)
-        x = x + (o.reshape(b, 1, -1) @ layer["wo"]).astype(x.dtype)
+        o = o.reshape(b, 1, -1)
+        x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
         x = llama.mlp_block(layer, x, cfg)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
