@@ -441,6 +441,22 @@ def _paged_attn_tp(fn, mesh, q: jax.Array, layer_cache: PagedKVCache,
         layer_cache.page_table, layer_cache.lengths)
 
 
+def _ffn_block(layer: dict, x: jax.Array, cfg,
+               mesh=None) -> jax.Array:
+    """Dense MLP or MoE FFN, keyed by the layer's parameters — the
+    paged steps are family-polymorphic: llama layers carry
+    w_gate/w_up/w_down, Mixtral-style layers carry a routed expert
+    bank (models/moe.py) and cfg is a MoEConfig.  Aux (load-balance)
+    loss is a training quantity and is dropped at inference."""
+    if "moe" in layer:
+        from metal_flash_attention_tpu.models import moe as moe_mod
+
+        h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        y, _ = moe_mod.moe_ffn(layer["moe"], h, cfg, mesh=mesh)
+        return x + y
+    return llama.mlp_block(layer, x, cfg)
+
+
 def paged_chunk_step(params: dict, tokens: jax.Array,
                      cfg: llama.LlamaConfig, cache: PagedModelCache,
                      mesh=None, lora=None, lora_ids=None
@@ -482,7 +498,7 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
                                q.astype(cfg.dtype), layer_cache)
         o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
         x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
-        x = llama.mlp_block(layer, x, cfg)
+        x = _ffn_block(layer, x, cfg, mesh=mesh)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
@@ -520,7 +536,7 @@ def paged_decode_step(params: dict, token: jax.Array,
                                layer_cache)
         o = o.reshape(b, 1, -1)
         x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
-        x = llama.mlp_block(layer, x, cfg)
+        x = _ffn_block(layer, x, cfg, mesh=mesh)
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = (x[:, 0] @ params["lm_head"]).astype(jnp.float32)
     return logits, PagedModelCache(tuple(k_pools), tuple(v_pools),
