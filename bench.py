@@ -220,6 +220,39 @@ def bench_engine(*, floor, kv_precision=None):
     return eng_tok_s, raw_tok_s
 
 
+def bench_engine_burst(*, floor, k=16):
+    """Burst decode: k in-jit steps per dispatch.  The per-step host
+    round-trip (~25 ms tunnel floor) dominates single-step serving at
+    small batch; bursting amortizes it k-fold, so this row is the
+    real serving throughput.  Reported RAW (no floor subtraction —
+    the whole point is that the floor is paid once per k tokens)."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    batch, prompt_len = 4, 128
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(1, cfg.vocab_size, (batch, prompt_len))
+    eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
+                        max_seq=1024)
+    for i in range(batch):
+        eng.submit(prompts[i], 640)
+    for _ in range(batch + 2):
+        eng.step()                     # admissions + prefill
+    eng.step_burst(k)                  # compile the burst
+    t0 = time.perf_counter()
+    emitted = 0
+    rounds = 512 // k
+    for _ in range(rounds):
+        emitted += len(eng.step_burst(k))
+    dt = time.perf_counter() - t0
+    return emitted / max(dt, 1e-9), rounds * floor / max(dt, 1e-9)
+
+
 def bench_prefix_cache(*, floor):
     """Automatic prefix caching: time-to-first-token for a 2048-token
     prompt cold (full 16-chunk prefill) vs warm (15 pages borrowed
@@ -444,6 +477,16 @@ def main():
               f"({eng_tok / max(raw_tok, 1e-9):5.1%})", file=err)
     except Exception as e:
         print(f"# engine decode: FAIL {type(e).__name__}: {e}", file=err)
+
+    try:
+        burst_tok, floor_frac = retry_once(bench_engine_burst,
+                                           floor=floor, k=16)
+        print(f"# engine BURST decode (k=16, 4L d2048, b=4): "
+              f"{burst_tok:7.0f} tok/s wall "
+              f"(dispatch floor now {floor_frac:5.1%} of wall)",
+              file=err)
+    except Exception as e:
+        print(f"# engine burst: FAIL {type(e).__name__}: {e}", file=err)
 
     try:
         eng_tok, raw_tok = retry_once(bench_engine, floor=floor,

@@ -204,6 +204,13 @@ class ServingEngine:
         # request then costs one chunk of work per step.
         assert admissions_per_step >= 1, admissions_per_step
         self.admissions_per_step = admissions_per_step
+        # Burst decode uses the default llama bf16 paged step directly
+        # (a custom family/quantized step would be bypassed).
+        self._burstable = (chunk_step is None and decode_step is None)
+        self._burst = jax.jit(
+            serving.paged_decode_burst,
+            static_argnames=("cfg", "n_steps", "want_logprobs"),
+            donate_argnums=(3,))
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),
                               donate_argnums=(3,))
@@ -334,6 +341,93 @@ class ServingEngine:
             raise ValueError(
                 f"request {rid} was not submitted with logprobs=True")
         return np.asarray(req.logprobs, np.float32)
+
+    def step_burst(self, k: int) -> list[tuple[int, int]]:
+        """Emit up to ``k`` tokens per active slot in ONE device
+        dispatch (`serving.paged_decode_burst`): tokens feed back
+        in-jit, per-row sampling/stop/budget handled on device — the
+        host round-trip (~25 ms over a tunnel) amortizes k-fold.
+        Falls back to a normal :meth:`step` whenever bursting cannot
+        run: a slot is mid-prefill, a queued request could be
+        admitted, or nothing is active.  Streams are identical to
+        k successive :meth:`step` calls."""
+        if not self._burstable:
+            raise ValueError(
+                "burst decode drives the default llama bf16 paged "
+                "step; this engine uses custom/quantized steps")
+        can = (not any(r is not None and r.next_token is None
+                       for r in self._slots)
+               and any(r is not None for r in self._slots)
+               and not (self._queue
+                        and any(r is None for r in self._slots)))
+        if not can:
+            return self.step()
+        self.n_steps += 1
+        n = len(self._slots)
+        tokens = np.zeros((n,), np.int32)
+        active = np.zeros((n,), bool)
+        remaining = np.zeros((n,), np.int32)
+        rids = np.zeros((n,), np.int32)
+        idx0 = np.zeros((n,), np.int32)
+        temp = np.zeros((n,), np.float32)
+        top_k = np.zeros((n,), np.int32)
+        top_p = np.ones((n,), np.float32)
+        n_stops = max([len(r.stop) for r in self._slots
+                       if r is not None] + [1])
+        stops = np.full((n, n_stops), -1, np.int32)
+        want_lp = False
+        for i, r in enumerate(self._slots):
+            if r is None:
+                continue
+            tokens[i] = r.next_token
+            active[i] = True
+            remaining[i] = r.max_new_tokens - len(r.out)
+            rids[i] = r.rid
+            idx0[i] = len(r.out)
+            temp[i] = r.temperature
+            top_k[i] = r.top_k
+            top_p[i] = r.top_p
+            stops[i, :len(r.stop)] = sorted(r.stop)
+            want_lp = want_lp or r.want_logprobs
+        cache = serving.PagedModelCache(
+            k=tuple(self._k), v=tuple(self._v),
+            page_table=jnp.asarray(self._table),
+            lengths=jnp.asarray(self._lengths))
+        kw = ({} if self._lora is None else dict(
+            lora=self._lora, lora_ids=jnp.asarray(
+                np.asarray([0 if r is None else r.lora_id
+                            for r in self._slots], np.int32))))
+        toks, valid, lps, cache, _ = self._burst(
+            self.params, jnp.asarray(tokens), self.cfg, cache,
+            n_steps=int(k), active=jnp.asarray(active),
+            remaining=jnp.asarray(remaining),
+            stop_ids=jnp.asarray(stops), base_key=self._base_key,
+            rids=jnp.asarray(rids), idx0=jnp.asarray(idx0),
+            temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p), want_logprobs=want_lp, **kw)
+        self._k = list(cache.k)
+        self._v = list(cache.v)
+        self._lengths = np.asarray(cache.lengths).copy()
+        toks = np.asarray(toks)
+        valid = np.asarray(valid)
+        lps = np.asarray(lps)
+        emitted: list[tuple[int, int]] = []
+        for i, r in enumerate(self._slots):
+            if r is None:
+                continue
+            for j in range(int(k)):
+                if not valid[i, j]:
+                    break
+                t = int(toks[i, j])
+                r.out.append(t)
+                r.finished = t in r.stop
+                if r.want_logprobs:
+                    r.logprobs.append(float(lps[i, j]))
+                emitted.append((r.rid, t))
+                r.next_token = t
+        self._retire()
+        self.n_emitted += len(emitted)
+        return emitted
 
     def step(self) -> list[tuple[int, int]]:
         """One engine iteration; returns the (request_id, token) pairs

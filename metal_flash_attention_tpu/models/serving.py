@@ -1290,3 +1290,76 @@ def beam_generate(params: dict, prompt: jax.Array,
         [np.broadcast_to(np.asarray(prompt)[:, None, :], (b, k, s)),
          seqs], axis=2)
     return jnp.asarray(full), jnp.asarray(final)
+
+
+# ---------------------------------------------------------------------------
+# Burst decode: K steps per dispatch
+# ---------------------------------------------------------------------------
+
+def paged_decode_burst(params: dict, token: jax.Array,
+                       cfg: llama.LlamaConfig, cache: PagedModelCache,
+                       *, n_steps: int, active: jax.Array,
+                       remaining: jax.Array, stop_ids: jax.Array,
+                       base_key: jax.Array, rids: jax.Array,
+                       idx0: jax.Array, temp: jax.Array,
+                       top_k: jax.Array, top_p: jax.Array,
+                       want_logprobs: bool = False, lora=None,
+                       lora_ids=None):
+    """Run ``n_steps`` paged decode steps inside ONE jit (lax.scan).
+
+    The host-orchestrated engine pays one dispatch round-trip per
+    token; over a tunnel that floor is ~25 ms — far more than the
+    step's compute at small batch.  Bursting folds K steps into one
+    dispatch: tokens feed back in-jit (greedy or per-row sampled with
+    the same request-keyed fold_in streams the engine uses), stop
+    tokens and per-row budgets freeze rows in-jit, and the whole KV
+    bookkeeping (appends, lengths) stays on device.
+
+    - ``active`` bool [b]: rows participating at burst entry.
+    - ``remaining`` int32 [b]: tokens each row may still emit; a row
+      freezes when its count is exhausted.
+    - ``stop_ids`` int32 [b, S]: per-row stop sets, -1 padded.
+    - sampling params as in `sample_token_per_row` (temp 0 = greedy);
+      row keys are fold_in(fold_in(base_key, rid), idx0 + i).
+
+    Returns ``(tokens [b, n_steps], valid [b, n_steps] bool,
+    logprobs [b, n_steps] fp32, cache, alive [b])``.  A frozen row's
+    slots are marked invalid; its KV/lengths stop advancing (its
+    garbage write lands at its frozen `lengths` slot, which stays
+    dead).  The FIRST emitted token of a row is the model's response
+    to the fed-in ``token`` — the engine passes each slot's current
+    next_token exactly as in the single-step path, so burst streams
+    are bitwise the single-step streams whenever the per-step
+    computation is (same trace shapes row-wise)."""
+    b = token.shape[0]
+
+    def body(carry, i):
+        tok, cache, alive, rem = carry
+        logits, cache2 = paged_decode_step(params, tok, cfg, cache,
+                                           lora=lora,
+                                           lora_ids=lora_ids)
+        # Frozen rows: lengths do not advance (their dead-slot write
+        # is harmless and never readable).
+        cache2 = cache2._replace(
+            lengths=jnp.where(alive, cache2.lengths, cache.lengths))
+        keys = jax.vmap(lambda r, t: jax.random.fold_in(
+            jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
+        nxt = sample_token_per_row(logits, keys, temp, top_k, top_p)
+        if want_logprobs:
+            l32 = logits.astype(jnp.float32)
+            lp = jnp.take_along_axis(
+                l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
+                l32, axis=-1)
+        else:
+            lp = jnp.zeros((b,), jnp.float32)
+        emit = alive & (rem > 0)
+        hit_stop = (nxt[:, None] == stop_ids).any(axis=-1)
+        alive2 = emit & ~hit_stop & (rem > 1)
+        tok2 = jnp.where(alive2, nxt, tok)
+        return ((tok2, cache2, alive2, rem - emit),
+                (jnp.where(emit, nxt, -1), emit, lp))
+
+    (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(
+        body, (token, cache, active, remaining),
+        jnp.arange(n_steps))
+    return (toks.T, valid.T, lps.T, cache, alive)

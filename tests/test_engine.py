@@ -325,3 +325,60 @@ def test_engine_stats(setup):
     s1 = eng.request_stats(r1)
     assert s1["queue_steps"] > 1           # waited for the only slot
     assert s1["generated"] == 3
+
+
+def test_engine_burst_matches_single_step(setup):
+    """step_burst(k) — K decode steps in one dispatch — reproduces the
+    single-step engine exactly across a mixed workload: greedy +
+    sampled + stop-token + short-budget requests, staggered admission,
+    logprobs on one request."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    p0 = rng.integers(0, cfg.vocab_size, (12,)).astype(np.int32)
+    p1 = rng.integers(0, cfg.vocab_size, (7,)).astype(np.int32)
+
+    def build():
+        return ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                             max_seq=128, seed=5,
+                             admissions_per_step=2)
+
+    def submit_all(eng):
+        # greedy w/ logprobs, sampled, then (after first drain) a
+        # stop-token request reusing a slot
+        r0 = eng.submit(p0, 11, logprobs=True)
+        r1 = eng.submit(p1, 6, temperature=0.8, top_k=12)
+        return r0, r1
+
+    # Reference: single-step drain.
+    ref = build()
+    r0, r1 = submit_all(ref)
+    steps = 0
+    while not ref.idle:
+        ref.step()
+        steps += 1
+        assert steps < 80
+    ref_out = [ref.result(r0).tolist(), ref.result(r1).tolist()]
+    ref_lp = ref.result_logprobs(r0).tolist()
+    stop = ref_out[0][len(p0) + 4]
+    rs = ref.submit(p0, 11, stop_tokens=[stop])
+    while not ref.idle:
+        ref.step()
+    ref_stop = ref.result(rs).tolist()
+
+    # Burst engine: same submissions, drained with step_burst(4).
+    eng = build()
+    b0, b1 = submit_all(eng)
+    steps = 0
+    while not eng.idle:
+        eng.step_burst(4)
+        steps += 1
+        assert steps < 80
+    assert eng.result(b0).tolist() == ref_out[0]
+    assert eng.result(b1).tolist() == ref_out[1]
+    np.testing.assert_allclose(eng.result_logprobs(b0), ref_lp,
+                               rtol=1e-6, atol=1e-6)
+    bs = eng.submit(p0, 11, stop_tokens=[stop])
+    while not eng.idle:
+        eng.step_burst(4)
+    assert eng.result(bs).tolist() == ref_stop
+    assert eng.alloc.free_pages == 32 - 1
