@@ -138,10 +138,12 @@ class ServingEngine:
         # different adapters share every fixed-shape step.
         self._lora = lora
         if lora is not None and (draft_fn is not None
-                                 or kv_precision is not None):
+                                 or kv_precision is not None
+                                 or chunk_step is not None
+                                 or decode_step is not None):
             raise ValueError(
-                "lora is not wired into the speculative/quantized "
-                "step functions yet")
+                "lora rides on the default llama paged steps only "
+                "(not speculative/quantized/custom-family steps)")
         if kv_precision is not None:
             if draft_fn is not None or kv_sharding is not None \
                     or chunk_step is not None or decode_step is not None:
@@ -204,12 +206,15 @@ class ServingEngine:
         # request then costs one chunk of work per step.
         assert admissions_per_step >= 1, admissions_per_step
         self.admissions_per_step = admissions_per_step
-        # Burst decode uses the default llama bf16 paged step directly
-        # (a custom family/quantized step would be bypassed).
-        self._burstable = (chunk_step is None and decode_step is None)
+        # Burst decode scans the family's raw decode step (the same
+        # object each call, so the jit cache stays stable); the
+        # quantized step is not scannable through this path.
+        self._burstable = kv_precision is None
+        self._decode_raw = decode_step
         self._burst = jax.jit(
             serving.paged_decode_burst,
-            static_argnames=("cfg", "n_steps", "want_logprobs"),
+            static_argnames=("cfg", "n_steps", "want_logprobs",
+                             "step_fn"),
             donate_argnums=(3,))
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),
@@ -353,8 +358,8 @@ class ServingEngine:
         k successive :meth:`step` calls."""
         if not self._burstable:
             raise ValueError(
-                "burst decode drives the default llama bf16 paged "
-                "step; this engine uses custom/quantized steps")
+                "burst decode scans the bf16 family steps; the "
+                "quantized engine path is not burstable")
         can = (not any(r is not None and r.next_token is None
                        for r in self._slots)
                and any(r is not None for r in self._slots)
@@ -404,7 +409,8 @@ class ServingEngine:
             stop_ids=jnp.asarray(stops), base_key=self._base_key,
             rids=jnp.asarray(rids), idx0=jnp.asarray(idx0),
             temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p), want_logprobs=want_lp, **kw)
+            top_p=jnp.asarray(top_p), want_logprobs=want_lp,
+            step_fn=self._decode_raw, **kw)
         self._k = list(cache.k)
         self._v = list(cache.v)
         self._lengths = np.asarray(cache.lengths).copy()

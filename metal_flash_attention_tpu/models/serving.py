@@ -1304,7 +1304,7 @@ def paged_decode_burst(params: dict, token: jax.Array,
                        idx0: jax.Array, temp: jax.Array,
                        top_k: jax.Array, top_p: jax.Array,
                        want_logprobs: bool = False, lora=None,
-                       lora_ids=None):
+                       lora_ids=None, step_fn=None):
     """Run ``n_steps`` paged decode steps inside ONE jit (lax.scan).
 
     The host-orchestrated engine pays one dispatch round-trip per
@@ -1335,9 +1335,15 @@ def paged_decode_burst(params: dict, token: jax.Array,
 
     def body(carry, i):
         tok, cache, alive, rem = carry
-        logits, cache2 = paged_decode_step(params, tok, cfg, cache,
-                                           lora=lora,
-                                           lora_ids=lora_ids)
+        if step_fn is not None:
+            # Family override (e.g. gemma_paged_decode_step, or a
+            # mesh partial for TP serving); such steps own their own
+            # extra kwargs, so LoRA rides only on the default step.
+            logits, cache2 = step_fn(params, tok, cfg, cache)
+        else:
+            logits, cache2 = paged_decode_step(params, tok, cfg,
+                                               cache, lora=lora,
+                                               lora_ids=lora_ids)
         # Frozen rows: lengths do not advance (their dead-slot write
         # is harmless and never readable).
         cache2 = cache2._replace(

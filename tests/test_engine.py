@@ -382,3 +382,31 @@ def test_engine_burst_matches_single_step(setup):
         eng.step_burst(4)
     assert eng.result(bs).tolist() == ref_stop
     assert eng.alloc.free_pages == 32 - 1
+
+
+def test_gemma_engine_burst_matches_single_step():
+    """Burst decode drives the family's raw decode step: the Gemma
+    engine bursts to the same streams as single-stepping."""
+    from metal_flash_attention_tpu.models import gemma, serving as sv
+
+    cfg = gemma.GemmaConfig.tiny(sliding_window=32)
+    params = gemma.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (12, 20)]
+
+    def run(burst):
+        eng = ServingEngine(
+            params, cfg, max_batch=2, num_pages=16, max_seq=128,
+            admissions_per_step=2,
+            chunk_step=sv.gemma_paged_chunk_step,
+            decode_step=sv.gemma_paged_decode_step)
+        rids = [eng.submit(p, 7) for p in prompts]
+        steps = 0
+        while not eng.idle:
+            (eng.step_burst(3) if burst else eng.step())
+            steps += 1
+            assert steps < 100
+        return [eng.result(r).tolist() for r in rids]
+
+    assert run(True) == run(False)
