@@ -208,13 +208,19 @@ class ServingEngine:
         self.admissions_per_step = admissions_per_step
         # Burst decode scans the family's raw decode step (the same
         # object each call, so the jit cache stays stable); the
-        # quantized step is not scannable through this path.
-        self._burstable = kv_precision is None
-        self._decode_raw = decode_step
+        # quantized engine scans paged_decode_step_q with the live-row
+        # mask threaded through the carry.
+        self._burstable = True
+        self._decode_raw = None if kv_precision is not None \
+            else decode_step
         self._burst = jax.jit(
             serving.paged_decode_burst,
             static_argnames=("cfg", "n_steps", "want_logprobs",
                              "step_fn"),
+            donate_argnums=(3,))
+        self._burst_q = jax.jit(
+            serving.paged_decode_burst_q,
+            static_argnames=("cfg", "n_steps", "want_logprobs"),
             donate_argnums=(3,))
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),
@@ -356,10 +362,6 @@ class ServingEngine:
         run: a slot is mid-prefill, a queued request could be
         admitted, or nothing is active.  Streams are identical to
         k successive :meth:`step` calls."""
-        if not self._burstable:
-            raise ValueError(
-                "burst decode scans the bf16 family steps; the "
-                "quantized engine path is not burstable")
         can = (not any(r is not None and r.next_token is None
                        for r in self._slots)
                and any(r is not None for r in self._slots)
@@ -394,26 +396,50 @@ class ServingEngine:
             top_p[i] = r.top_p
             stops[i, :len(r.stop)] = sorted(r.stop)
             want_lp = want_lp or r.want_logprobs
-        cache = serving.PagedModelCache(
-            k=tuple(self._k), v=tuple(self._v),
-            page_table=jnp.asarray(self._table),
-            lengths=jnp.asarray(self._lengths))
-        kw = ({} if self._lora is None else dict(
-            lora=self._lora, lora_ids=jnp.asarray(
-                np.asarray([0 if r is None else r.lora_id
-                            for r in self._slots], np.int32))))
-        toks, valid, lps, cache, _ = self._burst(
-            self.params, jnp.asarray(tokens), self.cfg, cache,
+        common = dict(
             n_steps=int(k), active=jnp.asarray(active),
             remaining=jnp.asarray(remaining),
             stop_ids=jnp.asarray(stops), base_key=self._base_key,
             rids=jnp.asarray(rids), idx0=jnp.asarray(idx0),
             temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p), want_logprobs=want_lp,
-            step_fn=self._decode_raw, **kw)
-        self._k = list(cache.k)
-        self._v = list(cache.v)
-        self._lengths = np.asarray(cache.lengths).copy()
+            top_p=jnp.asarray(top_p), want_logprobs=want_lp)
+        if self._kv_precision is None:
+            cache = serving.PagedModelCache(
+                k=tuple(self._k), v=tuple(self._v),
+                page_table=jnp.asarray(self._table),
+                lengths=jnp.asarray(self._lengths))
+            kw = ({} if self._lora is None else dict(
+                lora=self._lora, lora_ids=jnp.asarray(
+                    np.asarray([0 if r is None else r.lora_id
+                                for r in self._slots], np.int32))))
+            toks, valid, lps, cache, _ = self._burst(
+                self.params, jnp.asarray(tokens), self.cfg, cache,
+                step_fn=self._decode_raw, **common, **kw)
+            self._k = list(cache.k)
+            self._v = list(cache.v)
+            self._lengths = np.asarray(cache.lengths).copy()
+        else:
+            cache = serving.QuantizedPagedModelCache(
+                qk=tuple(self._qk), qv=tuple(self._qv),
+                k_scales=tuple(self._ks), v_scales=tuple(self._vs),
+                tail_k=tuple(self._tail_k),
+                tail_v=tuple(self._tail_v),
+                page_table=jnp.asarray(self._table),
+                full_len=jnp.asarray(self._full),
+                tail_len=jnp.asarray(self._tlen),
+                precision=self._kv_precision)
+            toks, valid, lps, cache, _ = self._burst_q(
+                self.params, jnp.asarray(tokens), self.cfg, cache,
+                **common)
+            self._qk = list(cache.qk)
+            self._qv = list(cache.qv)
+            self._ks = list(cache.k_scales)
+            self._vs = list(cache.v_scales)
+            self._tail_k = list(cache.tail_k)
+            self._tail_v = list(cache.tail_v)
+            self._full = np.asarray(cache.full_len).copy()
+            self._tlen = np.asarray(cache.tail_len).copy()
+            self._lengths = self._full + self._tlen
         toks = np.asarray(toks)
         valid = np.asarray(valid)
         lps = np.asarray(lps)

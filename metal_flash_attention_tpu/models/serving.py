@@ -1369,3 +1369,47 @@ def paged_decode_burst(params: dict, token: jax.Array,
         body, (token, cache, active, remaining),
         jnp.arange(n_steps))
     return (toks.T, valid.T, lps.T, cache, alive)
+
+
+def paged_decode_burst_q(params: dict, token: jax.Array,
+                         cfg: llama.LlamaConfig,
+                         cache: QuantizedPagedModelCache,
+                         *, n_steps: int, active: jax.Array,
+                         remaining: jax.Array, stop_ids: jax.Array,
+                         base_key: jax.Array, rids: jax.Array,
+                         idx0: jax.Array, temp: jax.Array,
+                         top_k: jax.Array, top_p: jax.Array,
+                         want_logprobs: bool = False):
+    """Burst decode over the quantized paged cache: the scan body
+    passes the live-row mask straight into
+    :func:`paged_decode_step_q` (which already freezes masked rows —
+    tail writes, lengths, and flushes), so page flushes land mid-burst
+    exactly as they would across single steps.  Same contract as
+    :func:`paged_decode_burst`."""
+    b = token.shape[0]
+
+    def body(carry, i):
+        tok, cache, alive, rem = carry
+        logits, cache2 = paged_decode_step_q(params, tok, cfg, cache,
+                                             alive)
+        keys = jax.vmap(lambda r, t: jax.random.fold_in(
+            jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
+        nxt = sample_token_per_row(logits, keys, temp, top_k, top_p)
+        if want_logprobs:
+            l32 = logits.astype(jnp.float32)
+            lp = jnp.take_along_axis(
+                l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
+                l32, axis=-1)
+        else:
+            lp = jnp.zeros((b,), jnp.float32)
+        emit = alive & (rem > 0)
+        hit_stop = (nxt[:, None] == stop_ids).any(axis=-1)
+        alive2 = emit & ~hit_stop & (rem > 1)
+        tok2 = jnp.where(alive2, nxt, tok)
+        return ((tok2, cache2, alive2, rem - emit),
+                (jnp.where(emit, nxt, -1), emit, lp))
+
+    (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(
+        body, (token, cache, active, remaining),
+        jnp.arange(n_steps))
+    return (toks.T, valid.T, lps.T, cache, alive)

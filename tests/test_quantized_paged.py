@@ -205,3 +205,30 @@ def test_engine_quantized_kv_with_prefix_cache(setup):
     assert out2 == out1
     assert eng.prefix_cache.hit_tokens == 32   # 2 quantized pages hit
     assert steps2 < steps1
+
+
+def test_engine_quantized_burst_matches_single_step(setup):
+    """Quantized burst (scan over paged_decode_step_q with the
+    live-row mask in the carry) reproduces single-step streams —
+    flushes land mid-burst exactly as across single steps."""
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg, params, _ = setup
+    rng = np.random.default_rng(71)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (20, 9)]
+
+    def run(burst):
+        eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=16, max_seq=128,
+                            kv_precision=OperandPrecision.INT8,
+                            admissions_per_step=2)
+        rids = [eng.submit(p, 10) for p in prompts]
+        steps = 0
+        while not eng.idle:
+            (eng.step_burst(4) if burst else eng.step())
+            steps += 1
+            assert steps < 80
+        return [eng.result(r).tolist() for r in rids]
+
+    assert run(True) == run(False)
