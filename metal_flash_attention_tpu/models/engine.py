@@ -84,6 +84,8 @@ class _Request:
     pages: Optional[np.ndarray] = None   # reserved page ids
     prefill_pos: int = 0                 # tokens prefilled so far
     lora_id: int = 0                     # adapter row (0 = base)
+    logit_bias: Optional[np.ndarray] = None   # [vocab] fp32
+    priority: int = 0                    # higher admits sooner
     submitted_step: int = -1             # engine step counters
     admitted_step: int = -1
     first_token_step: int = -1
@@ -231,6 +233,10 @@ class ServingEngine:
         self._base_key = jax.random.PRNGKey(seed)
         self._sample = jax.jit(_sample_rows)
         self._logprob = jax.jit(_logprob_rows)
+        # Per-slot logit-bias rows live on device and update only at
+        # admit/retire (never per step — no per-token H2D traffic).
+        self._bias_dev = None
+        self._bias_count = 0
         # Observability counters (see .stats / .request_stats).
         self.n_steps = 0
         self.n_emitted = 0
@@ -273,7 +279,8 @@ class ServingEngine:
     def submit(self, prompt, max_new_tokens: int, *,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 1.0, stop_tokens=(),
-               logprobs: bool = False, lora_id: int = 0) -> int:
+               logprobs: bool = False, lora_id: int = 0,
+               logit_bias=None, priority: int = 0) -> int:
         """Queue a request.  temperature=0 (default) decodes greedily;
         temperature>0 samples with optional top-k / nucleus filters.
         Sampled streams are a pure function of (engine seed, request
@@ -289,6 +296,14 @@ class ServingEngine:
         back with :meth:`result_logprobs`."""
         if lora_id != 0 and self._lora is None:
             raise ValueError("engine built without lora adapters")
+        bias_vec = None
+        if logit_bias is not None:
+            bias_vec = np.zeros((self.cfg.vocab_size,), np.float32)
+            if isinstance(logit_bias, dict):
+                for t, v in logit_bias.items():
+                    bias_vec[int(t)] = float(v)
+            else:
+                bias_vec[:] = np.asarray(logit_bias, np.float32)
         if self._draft_fn is not None and (temperature > 0 or logprobs):
             raise ValueError(
                 "speculative engine mode is greedy-only (the verify "
@@ -302,6 +317,7 @@ class ServingEngine:
             top_p=float(top_p),
             stop=frozenset(int(t) for t in stop_tokens),
             want_logprobs=bool(logprobs), lora_id=int(lora_id),
+            logit_bias=bias_vec, priority=int(priority),
             submitted_step=self.n_steps))
         return rid
 
@@ -402,7 +418,9 @@ class ServingEngine:
             stop_ids=jnp.asarray(stops), base_key=self._base_key,
             rids=jnp.asarray(rids), idx0=jnp.asarray(idx0),
             temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p), want_logprobs=want_lp)
+            top_p=jnp.asarray(top_p), want_logprobs=want_lp,
+            logit_bias=(self._bias_dev if self._bias_count
+                        else None))
         if self._kv_precision is None:
             cache = serving.PagedModelCache(
                 k=tuple(self._k), v=tuple(self._v),
@@ -491,7 +509,10 @@ class ServingEngine:
                     None)
         if free is None or not self._queue:
             return False
-        req = self._queue[0]
+        # Highest priority first; FIFO within a priority class.
+        qi = max(range(len(self._queue)),
+                 key=lambda j: (self._queue[j].priority, -j))
+        req = self._queue[qi]
         # Speculative rounds write draft_len+1 rows before rolling
         # lengths back, so the page span must cover the high-water
         # mark (same bound as speculative_generate).
@@ -525,9 +546,17 @@ class ServingEngine:
                 if borrowed:
                     self.alloc.release_pages(borrowed)
                 return False    # retry after a retirement
-        self._queue.popleft()
+        del self._queue[qi]
         req.slot = free
         req.admitted_step = self.n_steps
+        if req.logit_bias is not None:
+            if self._bias_dev is None:
+                self._bias_dev = jnp.zeros(
+                    (len(self._slots), self.cfg.vocab_size),
+                    jnp.float32)
+            self._bias_dev = self._bias_dev.at[free].set(
+                jnp.asarray(req.logit_bias))
+            self._bias_count += 1
         req.borrowed = borrowed
         req.pages = np.zeros((self.max_pages,), np.int32)
         req.pages[:len(borrowed)] = borrowed
@@ -600,16 +629,19 @@ class ServingEngine:
                 if self._kv_precision is not None:
                     self._full[i] = int(cache.full_len[0])
                     self._tlen[i] = int(cache.tail_len[0])
+                row = logits[:, -1]
+                if req.logit_bias is not None:
+                    row = row + jnp.asarray(req.logit_bias)[None]
                 if req.temperature > 0.0:
                     tok = int(self._sample(
-                        logits[:, -1], self._base_key,
+                        row, self._base_key,
                         jnp.full((1,), req.rid, jnp.int32),
                         jnp.zeros((1,), jnp.int32),
                         jnp.full((1,), req.temperature, jnp.float32),
                         jnp.full((1,), req.top_k, jnp.int32),
                         jnp.full((1,), req.top_p, jnp.float32))[0])
                 else:
-                    tok = int(jnp.argmax(logits[0, -1]))
+                    tok = int(jnp.argmax(row[0]))
                 req.next_token = tok
                 req.first_token_step = self.n_steps
                 req.out.append(req.next_token)
@@ -671,6 +703,8 @@ class ServingEngine:
             self._tlen = np.asarray(cache.tail_len).copy()
         active = [r for r in self._slots
                   if r is not None and r.next_token is not None]
+        biased = (logits if self._bias_count == 0
+                  else logits + self._bias_dev)
         if any(r.temperature > 0.0 for r in active):
             n = len(self._slots)
             temp = np.zeros((n,), np.float32)
@@ -687,11 +721,11 @@ class ServingEngine:
                 rids[i] = r.rid
                 idxs[i] = len(r.out)    # index of the token emitted now
             toks = np.asarray(self._sample(
-                logits, self._base_key, jnp.asarray(rids),
+                biased, self._base_key, jnp.asarray(rids),
                 jnp.asarray(idxs), jnp.asarray(temp),
                 jnp.asarray(top_k), jnp.asarray(top_p)), np.int32)
         else:
-            toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+            toks = np.asarray(jnp.argmax(biased, axis=-1), np.int32)
         lps = None
         if any(r is not None and r.next_token is not None
                and r.want_logprobs for r in self._slots):
@@ -772,6 +806,9 @@ class ServingEngine:
                 if r.borrowed:
                     self.alloc.release_pages(r.borrowed)
                 r.done_step = self.n_steps
+                if r.logit_bias is not None:
+                    self._bias_dev = self._bias_dev.at[i].set(0.0)
+                    self._bias_count -= 1
                 self._table[i] = 0
                 self._lengths[i] = 0
                 if self._kv_precision is not None:

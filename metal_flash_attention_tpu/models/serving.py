@@ -1304,7 +1304,8 @@ def paged_decode_burst(params: dict, token: jax.Array,
                        idx0: jax.Array, temp: jax.Array,
                        top_k: jax.Array, top_p: jax.Array,
                        want_logprobs: bool = False, lora=None,
-                       lora_ids=None, step_fn=None):
+                       lora_ids=None, step_fn=None,
+                       logit_bias=None):
     """Run ``n_steps`` paged decode steps inside ONE jit (lax.scan).
 
     The host-orchestrated engine pays one dispatch round-trip per
@@ -1350,8 +1351,10 @@ def paged_decode_burst(params: dict, token: jax.Array,
             lengths=jnp.where(alive, cache2.lengths, cache.lengths))
         keys = jax.vmap(lambda r, t: jax.random.fold_in(
             jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
-        nxt = sample_token_per_row(logits, keys, temp, top_k, top_p)
+        biased = logits if logit_bias is None else logits + logit_bias
+        nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
         if want_logprobs:
+            # logprobs report the model's UNBIASED distribution.
             l32 = logits.astype(jnp.float32)
             lp = jnp.take_along_axis(
                 l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
@@ -1379,7 +1382,8 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
                          base_key: jax.Array, rids: jax.Array,
                          idx0: jax.Array, temp: jax.Array,
                          top_k: jax.Array, top_p: jax.Array,
-                         want_logprobs: bool = False):
+                         want_logprobs: bool = False,
+                         logit_bias=None):
     """Burst decode over the quantized paged cache: the scan body
     passes the live-row mask straight into
     :func:`paged_decode_step_q` (which already freezes masked rows —
@@ -1394,7 +1398,8 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
                                              alive)
         keys = jax.vmap(lambda r, t: jax.random.fold_in(
             jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
-        nxt = sample_token_per_row(logits, keys, temp, top_k, top_p)
+        biased = logits if logit_bias is None else logits + logit_bias
+        nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
         if want_logprobs:
             l32 = logits.astype(jnp.float32)
             lp = jnp.take_along_axis(

@@ -410,3 +410,56 @@ def test_gemma_engine_burst_matches_single_step():
         return [eng.result(r).tolist() for r in rids]
 
     assert run(True) == run(False)
+
+
+def test_engine_logit_bias_and_priority(setup):
+    """OpenAI-style logit_bias: -inf-like bias bans the greedy token
+    (single-step and burst paths agree); +100 forces one.  Priority:
+    a later high-priority submission admits before an earlier
+    low-priority one."""
+    cfg, params = setup
+    rng = np.random.default_rng(29)
+    p = rng.integers(0, cfg.vocab_size, (10,)).astype(np.int32)
+
+    def drain(eng, burst=False):
+        steps = 0
+        while not eng.idle:
+            (eng.step_burst(3) if burst else eng.step())
+            steps += 1
+            assert steps < 60
+        return steps
+
+    plain = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                          max_seq=64)
+    r = plain.submit(p, 5)
+    drain(plain)
+    greedy = plain.result(r).tolist()
+    banned = greedy[len(p)]                # first generated token
+
+    for burst in (False, True):
+        eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                            max_seq=64)
+        r = eng.submit(p, 5, logit_bias={banned: -1e9},
+                       logprobs=True)
+        drain(eng, burst)
+        out = eng.result(r).tolist()
+        assert banned not in out[len(p):], (burst, out)
+        # logprobs still describe the UNBIASED distribution: the
+        # banned-token run's first logprob must be <= greedy's max.
+        assert eng.result_logprobs(r)[0] <= 0.0
+    # forcing: +1e9 on an arbitrary token makes every emission it
+    forced = int((banned + 7) % cfg.vocab_size)
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                        max_seq=64)
+    r = eng.submit(p, 4, logit_bias={forced: 1e9})
+    drain(eng)
+    assert eng.result(r).tolist()[len(p):] == [forced] * 4
+
+    # Priority: submit low first, high second; high runs first.
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                        max_seq=64)
+    lo = eng.submit(p, 3, priority=0)
+    hi = eng.submit(p, 3, priority=5)
+    drain(eng)
+    assert eng.request_stats(hi)["queue_steps"] < \
+        eng.request_stats(lo)["queue_steps"]
