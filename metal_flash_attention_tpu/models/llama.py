@@ -144,17 +144,31 @@ def attention_block(
     kv_cache: Optional[tuple] = None,
     block_q: Optional[int] = None, block_kv: Optional[int] = None,
     mesh: Optional[Mesh] = None,
+    lora_layer: Optional[dict] = None,
+    lora_ids: Optional[jax.Array] = None,
 ):
     """x: [batch, seq, dim] -> ([batch, seq, dim], new_kv).
 
     With ``kv_cache = (k_prefix, v_prefix)`` runs decode: new K/V are
     appended and attention spans the whole prefix (causal).
+    ``lora_layer``/``lora_ids``: per-row multi-adapter LoRA deltas on
+    the attention projections (models/lora.py) — differentiable, so
+    the same path serves fine-tuning.
     """
     b, s, _ = x.shape
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-    q = (h @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.head_dim)
-    k = (h @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
-    v = (h @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+
+    def proj(name):
+        y = h @ layer[name]
+        if lora_layer is not None and name in lora_layer:
+            from metal_flash_attention_tpu.models.lora import apply_lora
+            ids = (lora_ids if lora_ids is not None
+                   else jnp.zeros((b,), jnp.int32))
+            y = y + apply_lora(h, lora_layer[name], ids)
+        return y
+    q = proj("wq").reshape(b, s, cfg.n_heads, cfg.head_dim)
+    k = proj("wk").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
+    v = proj("wv").reshape(b, s, cfg.n_kv_heads, cfg.head_dim)
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
@@ -200,7 +214,13 @@ def attention_block(
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
         o = attn(q, k, v)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
-    return x + (o @ layer["wo"]).astype(x.dtype), (k, v)
+    y = o @ layer["wo"]
+    if lora_layer is not None and "wo" in lora_layer:
+        from metal_flash_attention_tpu.models.lora import apply_lora
+        ids = (lora_ids if lora_ids is not None
+               else jnp.zeros((b,), jnp.int32))
+        y = y + apply_lora(o, lora_layer["wo"], ids)
+    return x + y.astype(x.dtype), (k, v)
 
 
 def mlp_block(layer: dict, x: jax.Array, cfg: LlamaConfig) -> jax.Array:
@@ -216,6 +236,7 @@ def forward_hidden(
     kv_caches: Optional[list] = None,
     block_q: Optional[int] = None, block_kv: Optional[int] = None,
     mesh: Optional[Mesh] = None,
+    lora: Optional[dict] = None, lora_ids: Optional[jax.Array] = None,
 ):
     """tokens [batch, seq] -> (final-norm hidden states [batch, seq,
     dim], kv_caches) — everything up to (not including) the lm head,
@@ -232,7 +253,9 @@ def forward_hidden(
         cache = kv_caches[i] if kv_caches is not None else None
         x, kv = attention_block(
             layer, x, cfg, cos, sin, kv_cache=cache,
-            block_q=block_q, block_kv=block_kv, mesh=mesh)
+            block_q=block_q, block_kv=block_kv, mesh=mesh,
+            lora_layer=None if lora is None else lora["layers"][i],
+            lora_ids=lora_ids)
         new_caches.append(kv)
         x = mlp_block(layer, x, cfg)
     return rms_norm(x, params["final_norm"], cfg.norm_eps), new_caches

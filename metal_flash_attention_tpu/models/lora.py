@@ -76,3 +76,43 @@ def apply_lora(h: jax.Array, pair, ids: jax.Array) -> jax.Array:
     a, b = pair
     down = jnp.einsum("bsd,bdr->bsr", h, a[ids])
     return jnp.einsum("bsr,bro->bso", down, b[ids])
+
+
+def make_lora_train_step(tx, cfg):
+    """Fine-tuning step: base params FROZEN (they enter as
+    non-differentiated arguments — no gradient masking machinery),
+    only the adapter (A, B) stacks train.  ``tx`` is any optax
+    transform over the adapters' ``layers`` pytree.
+
+    >>> adapters = init_lora_adapters(key, cfg, n_adapters=1, rank=16)
+    >>> tx = optax.adamw(1e-3)
+    >>> opt_state = tx.init(adapters["layers"])
+    >>> step = jax.jit(make_lora_train_step(tx, cfg),
+    ...                static_argnames=())
+    >>> adapters, opt_state, loss = step(adapters, opt_state,
+    ...                                  params, tokens)
+
+    The same adapters then serve through the engine
+    (``ServingEngine(..., lora=adapters)``) — training and serving
+    share `apply_lora`, so what you train is what you deploy.
+    """
+    import optax
+
+    from metal_flash_attention_tpu.models import llama
+
+    def step(adapters, opt_state, params, tokens, lora_ids=None):
+        rank = adapters["rank"]
+
+        def loss(layers):
+            return llama.loss_fn(
+                params, tokens, cfg,
+                lora={"rank": rank, "layers": layers},
+                lora_ids=lora_ids)
+
+        l, grads = jax.value_and_grad(loss)(adapters["layers"])
+        updates, opt_state = tx.update(grads, opt_state,
+                                       adapters["layers"])
+        layers = optax.apply_updates(adapters["layers"], updates)
+        return {"rank": rank, "layers": layers}, opt_state, l
+
+    return step
