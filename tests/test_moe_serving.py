@@ -50,3 +50,45 @@ def test_moe_engine_matches_paged_generate(setup):
         steps += 1
         assert steps < 40
     assert eng.result(rid).tolist() == np.asarray(ref)[0].tolist()
+
+
+def test_moe_tp_engine_matches_unsharded(setup):
+    """Mixtral TP+EP serving: attention TP over heads, experts sharded
+    over the same axis (all-to-alls from the dispatch/combine einsums)
+    — engine streams match the single-device MoE engine."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metal_flash_attention_tpu.parallel.mesh import (
+        HEAD_AXIS,
+        make_mesh,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg, params, prompt = setup
+    mesh = make_mesh(heads=2, devices=jax.devices()[:2])
+    sharded = jax.device_put(params, moe.param_shardings(cfg, mesh))
+    kv_shard = NamedSharding(mesh, P(None, HEAD_AXIS, None, None))
+
+    def run(prm, mesh_arg=None, kv=None):
+        kwargs = {}
+        if mesh_arg is not None:
+            kwargs = dict(
+                chunk_step=functools.partial(
+                    serving.paged_chunk_step, mesh=mesh_arg),
+                decode_step=functools.partial(
+                    serving.paged_decode_step, mesh=mesh_arg),
+                kv_sharding=kv)
+        eng = ServingEngine(prm, cfg, max_batch=1, num_pages=16,
+                            page_size=16, max_seq=64, **kwargs)
+        rid = eng.submit(prompt, 6)
+        steps = 0
+        while not eng.idle:
+            eng.step()
+            steps += 1
+            assert steps < 40
+        return eng.result(rid).tolist()
+
+    assert run(params) == run(sharded, mesh, kv_shard)
