@@ -326,7 +326,14 @@ class ServingEngine:
         return not self._queue and all(r is None for r in self._slots)
 
     def result(self, rid: int) -> np.ndarray:
-        req = self._done[rid]
+        """prompt + generated-so-far for ``rid`` (done, running, or
+        still queued — partial results are readable mid-flight)."""
+        req = self._done.get(rid)
+        if req is None:
+            req = next((r for r in list(self._slots) + list(self._queue)
+                        if r is not None and r.rid == rid), None)
+        if req is None:
+            raise KeyError(rid)
         return np.concatenate([req.prompt, np.asarray(req.out, np.int32)])
 
     @property
@@ -368,6 +375,38 @@ class ServingEngine:
             raise ValueError(
                 f"request {rid} was not submitted with logprobs=True")
         return np.asarray(req.logprobs, np.float32)
+
+    def abort(self, rid: int) -> bool:
+        """Cancel a request: a queued request is dropped; a running
+        one releases its slot, page span, and any borrowed prefix
+        pages immediately.  Its partial output stays readable via
+        :meth:`result`.  Returns False if the request is unknown or
+        already done (no-op)."""
+        for j, q in enumerate(self._queue):
+            if q.rid == rid:
+                del self._queue[j]
+                q.done_step = self.n_steps
+                self._done[rid] = q
+                return True
+        for i, r in enumerate(self._slots):
+            if r is not None and r.rid == rid:
+                r.finished = True
+                r.done_step = self.n_steps
+                self.alloc.release(i)
+                if r.borrowed:
+                    self.alloc.release_pages(r.borrowed)
+                if r.logit_bias is not None:
+                    self._bias_dev = self._bias_dev.at[i].set(0.0)
+                    self._bias_count -= 1
+                self._table[i] = 0
+                self._lengths[i] = 0
+                if self._kv_precision is not None:
+                    self._full[i] = 0
+                    self._tlen[i] = 0
+                self._done[rid] = r
+                self._slots[i] = None
+                return True
+        return False
 
     def step_burst(self, k: int) -> list[tuple[int, int]]:
         """Emit up to ``k`` tokens per active slot in ONE device

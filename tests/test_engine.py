@@ -463,3 +463,37 @@ def test_engine_logit_bias_and_priority(setup):
     drain(eng)
     assert eng.request_stats(hi)["queue_steps"] < \
         eng.request_stats(lo)["queue_steps"]
+
+
+def test_engine_abort(setup):
+    """abort(): queued requests drop; running requests free their slot
+    and pages immediately, partial output stays readable, and the
+    freed slot admits the next request."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    p = rng.integers(0, cfg.vocab_size, (18,)).astype(np.int32)
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                        page_size=16, max_seq=96)
+    r0 = eng.submit(p, 20)
+    r1 = eng.submit(p[:9], 3)
+    # run a few steps so r0 is mid-decode
+    for _ in range(4):
+        eng.step()
+    assert eng.abort(r1)                  # still queued
+    assert eng.result(r1).tolist() == p[:9].tolist()  # no output yet
+    partial = len(eng.result(r0))
+    assert partial > len(p)               # r0 already streaming
+    assert eng.abort(r0)                  # running
+    assert eng.alloc.free_pages == 16 - 1
+    assert len(eng.result(r0)) == partial
+    assert not eng.abort(r0)              # already done -> no-op
+    assert eng.idle
+    r2 = eng.submit(p, 3)                 # freed slot admits again
+    steps = 0
+    while not eng.idle:
+        eng.step()
+        steps += 1
+        assert steps < 30
+    ref = serving.paged_generate(params, jnp.asarray(p[None]), cfg,
+                                 max_new_tokens=3, page_size=16)
+    assert eng.result(r2).tolist() == np.asarray(ref)[0].tolist()
