@@ -152,3 +152,90 @@ def context_parallel_decode(
         local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec, len_spec),
         out_specs=q_spec, check_vma=False,
     ))
+
+
+def shard_paged_cache_pages(cache, n_dev: int):
+    """Host-side prep for :func:`context_parallel_paged_decode`: split
+    a global :class:`PagedKVCache` so device ``d`` holds global pages
+    ``{g : g % n_dev == d}`` (local id ``g // n_dev``).
+
+    Per-sequence table rows keep their original page ORDER filtered to
+    each device, so the (single) partial tail page stays LAST in its
+    device's walk — the only ordering the masked kernel needs; full
+    pages are order-invariant under the online softmax.  Returns
+    ``(k_stack, v_stack, tables, lens)`` with a leading device axis to
+    shard over the context mesh axis.
+    """
+    import numpy as np
+
+    kp = np.asarray(cache.k_pages)
+    vp = np.asarray(cache.v_pages)
+    tbl = np.asarray(cache.page_table)
+    lens = np.asarray(cache.lengths)
+    num_pages, kvh, page, d = kp.shape
+    b, mp = tbl.shape
+    p_local = -(-num_pages // n_dev)
+    k_stack = np.zeros((n_dev, p_local, kvh, page, d), kp.dtype)
+    v_stack = np.zeros_like(k_stack)
+    for g in range(num_pages):
+        k_stack[g % n_dev, g // n_dev] = kp[g]
+        v_stack[g % n_dev, g // n_dev] = vp[g]
+    tables = np.zeros((n_dev, b, mp), np.int32)
+    lens_out = np.zeros((n_dev, b), np.int32)
+    for i in range(b):
+        n_live = -(-int(lens[i]) // page)
+        tail_tokens = int(lens[i]) - (n_live - 1) * page \
+            if n_live else 0
+        for dev in range(n_dev):
+            row = [g for g in tbl[i][:n_live] if g % n_dev == dev]
+            tables[dev, i, :len(row)] = [g // n_dev for g in row]
+            t = 0
+            for j, g in enumerate(tbl[i][:n_live]):
+                if g % n_dev != dev:
+                    continue
+                t += tail_tokens if j == n_live - 1 else page
+            lens_out[dev, i] = t
+    return k_stack, v_stack, tables, lens_out
+
+
+def context_parallel_paged_decode(mesh: Mesh):
+    """Paged decode over page POOLS sharded across the context axis —
+    long-context serving on a mesh: each chip owns an equal slice of
+    the page pool, walks only its local pages for its local token
+    count, and one online-softmax combine (`_merge_partials`) merges
+    the per-chip partials.  Communication per token is O(heads * d),
+    independent of context length — the paged counterpart of
+    :func:`context_parallel_decode`, keeping vLLM-style block tables
+    while scaling context over ICI.
+
+    Decode attends every cached token, and the online softmax is
+    column-order invariant, so pages may scatter across chips freely;
+    only each sequence's partial tail page must sit last in its
+    device's walk (see :func:`shard_paged_cache_pages`).
+
+    Returns a jitted callable ``(q [b, qh, d] replicated,
+    k_stack/v_stack [n_dev, P_local, kvh, page, d],
+    tables [n_dev, b, max_pages], lens [n_dev, b]) -> o [b, qh, d]``.
+    """
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        PagedKVCache,
+        paged_decode,
+    )
+
+    q_spec = P(None, None, None)
+    pool_spec = P(CONTEXT_AXIS, None, None, None, None)
+    tbl_spec = P(CONTEXT_AXIS, None, None)
+    len_spec = P(CONTEXT_AXIS, None)
+
+    def local(q, kp, vp, tbl, lens):
+        cache = PagedKVCache(kp[0], vp[0], tbl[0], lens[0])
+        o_i, lse_i = paged_decode(q, cache, return_residuals=True)
+        return _merge_partials(
+            o_i.astype(jnp.float32), lse_i, CONTEXT_AXIS
+        ).astype(q.dtype)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(q_spec, pool_spec, pool_spec, tbl_spec, len_spec),
+        out_specs=q_spec, check_vma=False,
+    ))

@@ -207,3 +207,48 @@ class TestZigzag:
                               zigzag_shard(v, cp)), cp)
         o_ref = golden(q, k, v, causal=True)
         assert max_abs_err(o, o_ref) < 5e-5
+
+
+def test_context_parallel_paged_decode_matches_global():
+    """Paged CP decode: pools scattered page-wise over 4 devices
+    reproduce the single-pool paged_decode result (partials merged by
+    the cross-chip online-softmax combine)."""
+    import numpy as np
+
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        PagedKVCache,
+        paged_decode,
+    )
+    from metal_flash_attention_tpu.parallel.mesh import make_mesh
+    from metal_flash_attention_tpu.parallel.sharded_attention import (
+        context_parallel_paged_decode,
+        shard_paged_cache_pages,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    rng = np.random.default_rng(0)
+    b, qh, kvh, page, d, mp = 2, 4, 2, 16, 128, 6
+    num_pages = b * mp + 1
+    kp = jnp.asarray(rng.standard_normal(
+        (num_pages, kvh, page, d)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal(
+        (num_pages, kvh, page, d)), jnp.bfloat16)
+    # shuffled page assignment, ragged lengths (one partial tail each)
+    perm = rng.permutation(num_pages - 1) + 1
+    tbl = jnp.asarray(perm[:b * mp].reshape(b, mp), jnp.int32)
+    lens = jnp.asarray([57, 90], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, qh, d)), jnp.bfloat16)
+    cache = PagedKVCache(kp, vp, tbl, lens)
+    ref = paged_decode(q, cache)
+
+    mesh = make_mesh(context=4, devices=jax.devices()[:4])
+    ks, vs, tbls, lls = shard_paged_cache_pages(cache, 4)
+    fn = context_parallel_paged_decode(mesh)
+    o = fn(q, jnp.asarray(ks), jnp.asarray(vs), jnp.asarray(tbls),
+           jnp.asarray(lls))
+    # token distribution must be exhaustive and disjoint
+    assert lls.sum(axis=0).tolist() == lens.tolist()
+    err = float(jnp.max(jnp.abs(o.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    assert err < 3e-2, err
