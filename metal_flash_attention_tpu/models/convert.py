@@ -1,0 +1,94 @@
+"""HuggingFace checkpoint conversion.
+
+Bridges real-world checkpoints into the framework's parameter pytrees
+so `models/serving.py`, the `ServingEngine`, and the training stack
+run production weights unchanged.  torch stays on the loading path
+only — weights convert to numpy once and everything downstream is
+JAX.
+
+Also the framework's strongest correctness anchor: the test suite
+builds a random-weight HF `LlamaForCausalLM`, converts it, and checks
+our fused-kernel forward against HF's reference implementation
+logit-for-logit (tests/test_convert.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from metal_flash_attention_tpu.models import llama
+
+
+def config_from_hf_llama(hf_config, dtype=jnp.bfloat16
+                         ) -> llama.LlamaConfig:
+    """Map a `transformers.LlamaConfig` onto :class:`LlamaConfig`."""
+    return llama.LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=(hf_config.num_key_value_heads
+                    or hf_config.num_attention_heads),
+        hidden_dim=hf_config.intermediate_size,
+        rope_theta=float(hf_config.rope_theta),
+        norm_eps=float(hf_config.rms_norm_eps),
+        dtype=dtype,
+    )
+
+
+def params_from_hf_llama(model_or_state_dict, cfg: llama.LlamaConfig
+                         ) -> dict:
+    """Convert HF Llama weights to this framework's pytree.
+
+    Accepts a `LlamaForCausalLM` (or anything with ``state_dict()``)
+    or a raw state dict of torch/numpy tensors.  torch stores linear
+    weights as ``[out, in]`` acting by ``y = x @ W.T``; ours act by
+    ``y = x @ W``, so every projection transposes once here.  HF's
+    GPT-NeoX-style split-half RoPE matches `llama.apply_rope`
+    exactly, so no permutation of head columns is needed.  Models
+    with ``tie_word_embeddings`` reuse the embedding as the lm head.
+    """
+    sd = (model_or_state_dict.state_dict()
+          if hasattr(model_or_state_dict, "state_dict")
+          else model_or_state_dict)
+
+    def get(name):
+        t = sd[name]
+        arr = t.detach().cpu().float().numpy() if hasattr(t, "detach") \
+            else np.asarray(t, np.float32)
+        return arr
+
+    def lin(name):
+        return jnp.asarray(get(name).T, cfg.dtype)
+
+    def norm(name):
+        return jnp.asarray(get(name), jnp.float32)
+
+    pfx = "model." if any(k.startswith("model.") for k in sd) else ""
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = f"{pfx}layers.{i}."
+        layers.append({
+            "wq": lin(lp + "self_attn.q_proj.weight"),
+            "wk": lin(lp + "self_attn.k_proj.weight"),
+            "wv": lin(lp + "self_attn.v_proj.weight"),
+            "wo": lin(lp + "self_attn.o_proj.weight"),
+            "w_gate": lin(lp + "mlp.gate_proj.weight"),
+            "w_up": lin(lp + "mlp.up_proj.weight"),
+            "w_down": lin(lp + "mlp.down_proj.weight"),
+            "attn_norm": norm(lp + "input_layernorm.weight"),
+            "mlp_norm": norm(lp + "post_attention_layernorm.weight"),
+        })
+    embed = jnp.asarray(get(pfx + "embed_tokens.weight"), cfg.dtype)
+    if "lm_head.weight" in sd:
+        lm_head = lin("lm_head.weight")
+    else:                                  # tied embeddings
+        lm_head = embed.T
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": norm(pfx + "norm.weight"),
+        "lm_head": lm_head,
+    }
