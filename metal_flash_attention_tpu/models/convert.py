@@ -92,3 +92,73 @@ def params_from_hf_llama(model_or_state_dict, cfg: llama.LlamaConfig
         "final_norm": norm(pfx + "norm.weight"),
         "lm_head": lm_head,
     }
+
+
+def config_from_hf_gemma2(hf_config, dtype=jnp.bfloat16):
+    """Map a `transformers.Gemma2Config` onto GemmaConfig (same
+    even-layer sliding-window alternation, (1+w) norms, soft-caps,
+    query_pre_attn_scalar)."""
+    from metal_flash_attention_tpu.models import gemma
+
+    return gemma.GemmaConfig(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=hf_config.num_key_value_heads,
+        head_dim=hf_config.head_dim,
+        hidden_dim=hf_config.intermediate_size,
+        rope_theta=float(hf_config.rope_theta),
+        norm_eps=float(hf_config.rms_norm_eps),
+        sliding_window=int(hf_config.sliding_window),
+        attn_logit_softcap=hf_config.attn_logit_softcapping,
+        final_logit_softcap=hf_config.final_logit_softcapping,
+        query_pre_attn_scalar=float(hf_config.query_pre_attn_scalar),
+        dtype=dtype,
+    )
+
+
+def params_from_hf_gemma2(model_or_state_dict, cfg) -> dict:
+    """Convert HF Gemma-2 weights (tied embeddings; four per-layer
+    norms; norm gains stored as w, applied as 1 + w on both sides)."""
+    sd = (model_or_state_dict.state_dict()
+          if hasattr(model_or_state_dict, "state_dict")
+          else model_or_state_dict)
+
+    def get(name):
+        t = sd[name]
+        return (t.detach().cpu().float().numpy()
+                if hasattr(t, "detach") else np.asarray(t, np.float32))
+
+    def lin(name):
+        return jnp.asarray(get(name).T, cfg.dtype)
+
+    def norm(name):
+        return jnp.asarray(get(name), jnp.float32)
+
+    pfx = "model." if any(k.startswith("model.") for k in sd) else ""
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = f"{pfx}layers.{i}."
+        layers.append({
+            "wq": lin(lp + "self_attn.q_proj.weight"),
+            "wk": lin(lp + "self_attn.k_proj.weight"),
+            "wv": lin(lp + "self_attn.v_proj.weight"),
+            "wo": lin(lp + "self_attn.o_proj.weight"),
+            "w_gate": lin(lp + "mlp.gate_proj.weight"),
+            "w_up": lin(lp + "mlp.up_proj.weight"),
+            "w_down": lin(lp + "mlp.down_proj.weight"),
+            "pre_attn_norm": norm(lp + "input_layernorm.weight"),
+            "post_attn_norm": norm(
+                lp + "post_attention_layernorm.weight"),
+            "pre_mlp_norm": norm(
+                lp + "pre_feedforward_layernorm.weight"),
+            "post_mlp_norm": norm(
+                lp + "post_feedforward_layernorm.weight"),
+        })
+    return {
+        "embed": jnp.asarray(get(pfx + "embed_tokens.weight"),
+                             cfg.dtype),
+        "layers": layers,
+        "final_norm": norm(pfx + "norm.weight"),
+    }

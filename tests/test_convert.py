@@ -64,3 +64,34 @@ def test_greedy_generation_matches_hf(hf_setup):
     ours = serving.generate(params, jnp.asarray(tokens[:1], jnp.int32),
                             cfg, max_new_tokens=8)
     assert np.asarray(ours)[0].tolist() == hf_out.tolist()
+
+
+def test_gemma2_forward_matches_hf():
+    """Gemma-2 conversion: window alternation, (1+w) norms, embed
+    scaling, soft-caps, and query_pre_attn_scalar all line up with
+    HF's reference implementation."""
+    from transformers import Gemma2Config as HFGemma2Config
+    from transformers import Gemma2ForCausalLM
+
+    from metal_flash_attention_tpu.models import gemma
+
+    hf_cfg = HFGemma2Config(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        intermediate_size=256, max_position_embeddings=512,
+        sliding_window=16, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=32,
+        attention_dropout=0.0)
+    torch.manual_seed(1)
+    model = Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = convert.config_from_hf_gemma2(hf_cfg, dtype=jnp.float32)
+    params = convert.params_from_hf_gemma2(model, cfg)
+    rng = np.random.default_rng(83)
+    # longer than the sliding window so local layers actually mask
+    tokens = rng.integers(0, 256, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = gemma.forward(params, jnp.asarray(tokens, jnp.int32),
+                            cfg)
+    err = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
+    assert err < 2e-3, err
