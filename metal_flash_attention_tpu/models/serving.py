@@ -728,9 +728,11 @@ def sample_token(logits: jax.Array, rng: jax.Array, *,
         probs = jax.nn.softmax(sorted_l, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # Smallest prefix with cumulative mass >= top_p; the cutoff
-        # logit is the last one inside that prefix.
+        # is the SMALLEST kept logit (min, not max — position 0 is
+        # always kept, so a max would collapse every distribution to
+        # its argmax).
         keep = cum - probs < top_p
-        cutoff = jnp.max(jnp.where(keep, sorted_l, -jnp.inf), axis=-1,
+        cutoff = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1,
                          keepdims=True)
         l = jnp.where(l < cutoff, -jnp.inf, l)
     return jax.random.categorical(rng, l, axis=-1).astype(jnp.int32)
@@ -774,7 +776,9 @@ def sample_token_per_row(logits: jax.Array, keys: jax.Array,
     probs = jax.nn.softmax(sorted_kept, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = cum - probs < top_p[:, None]
-    cutoff = jnp.max(jnp.where(keep, sorted_kept, -jnp.inf), axis=-1,
+    # Cutoff = smallest kept logit (min — see sample_token; a max
+    # here silently made every sampled row greedy).
+    cutoff = jnp.min(jnp.where(keep, sorted_kept, jnp.inf), axis=-1,
                      keepdims=True)
     l = jnp.where(l < cutoff, -jnp.inf, l)
     sampled = jax.vmap(

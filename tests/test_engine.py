@@ -199,17 +199,20 @@ def test_engine_sampled_stream_batch_invariant(setup):
     ref_g = serving.paged_generate(
         params, jnp.asarray(p_greedy[None]), cfg, max_new_tokens=8)[0]
     assert eng_b.result(rid_g).tolist() == np.asarray(ref_g).tolist()
-    # sampling actually happened (not degenerate greedy)
-    greedy_ref = serving.paged_generate(
-        params, jnp.asarray(p_sampled[None]), cfg, max_new_tokens=8)[0]
-    # not asserted unequal (could coincide), but different seed must
-    # perturb the sampled stream while greedy stays fixed:
+    # Sampling must actually sample (regression: the nucleus-cutoff
+    # bug silently made every sampled request greedy): across two
+    # seeds, at least one stream differs from greedy AND the two
+    # seeds differ from each other.
+    greedy_ref = np.asarray(serving.paged_generate(
+        params, jnp.asarray(p_sampled[None]), cfg,
+        max_new_tokens=8)[0]).tolist()
     eng_c = ServingEngine(params, cfg, max_batch=1, num_pages=16,
                           max_seq=128, seed=43)
     rid_c = eng_c.submit(p_sampled, 8, temperature=0.9, top_k=20)
     drain(eng_c)
     other = eng_c.result(rid_c).tolist()
-    assert (other != alone) or (alone == np.asarray(greedy_ref).tolist())
+    assert alone != greedy_ref or other != greedy_ref
+    assert other != alone
 
 
 def test_engine_stop_tokens(setup):

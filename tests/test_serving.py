@@ -153,3 +153,42 @@ def test_sample_token_per_row_semantics():
             jnp.full((1,), 0.7, jnp.float32))
         assert int(t1[0]) == 0
         assert int(t2[0]) == 0
+
+
+def test_sampling_actually_samples():
+    """Regression for the nucleus-cutoff bug (max over kept logits ==
+    always argmax): finite temperature with permissive filters must
+    produce MORE than the greedy token across keys, and top_p must
+    keep exactly the smallest >= p prefix."""
+    from metal_flash_attention_tpu.models.serving import (
+        sample_token,
+        sample_token_per_row,
+    )
+
+    vocab = 64
+    logits = np.full((1, vocab), -50.0, np.float32)
+    logits[0, :4] = [3.0, 2.0, 1.0, 0.0]
+    logits = jnp.asarray(logits)
+    # probs ~ [.645, .237, .087, .032]: top_p=0.95 keeps {0,1,2}.
+    seen_single, seen_row = set(), set()
+    for trial in range(24):
+        t1 = sample_token(logits, jax.random.PRNGKey(trial),
+                          temperature=1.0, top_p=0.95)
+        seen_single.add(int(t1[0]))
+        t2 = sample_token_per_row(
+            logits, jax.random.PRNGKey(100 + trial)[None],
+            jnp.ones((1,), jnp.float32), jnp.zeros((1,), jnp.int32),
+            jnp.full((1,), 0.95, jnp.float32))
+        seen_row.add(int(t2[0]))
+    assert seen_single <= {0, 1, 2} and len(seen_single) >= 2, \
+        seen_single
+    assert seen_row <= {0, 1, 2} and len(seen_row) >= 2, seen_row
+    # permissive default (top_p=1.0, top_k off) must not be greedy
+    seen = set()
+    for trial in range(24):
+        t = sample_token_per_row(
+            logits, jax.random.PRNGKey(200 + trial)[None],
+            jnp.ones((1,), jnp.float32), jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), jnp.float32))
+        seen.add(int(t[0]))
+    assert len(seen) >= 2, seen
