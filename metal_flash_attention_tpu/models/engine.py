@@ -212,7 +212,6 @@ class ServingEngine:
         # object each call, so the jit cache stays stable); the
         # quantized engine scans paged_decode_step_q with the live-row
         # mask threaded through the carry.
-        self._burstable = True
         self._decode_raw = None if kv_precision is not None \
             else decode_step
         self._burst = jax.jit(
@@ -296,6 +295,15 @@ class ServingEngine:
         back with :meth:`result_logprobs`."""
         if lora_id != 0 and self._lora is None:
             raise ValueError("engine built without lora adapters")
+        if self._lora is not None:
+            n_adapters = next(iter(
+                self._lora["layers"][0].values()))[0].shape[0]
+            if not (0 <= lora_id < n_adapters):
+                # JAX would clamp the out-of-range gather and silently
+                # serve another tenant's adapter.
+                raise ValueError(
+                    f"lora_id {lora_id} out of range "
+                    f"[0, {n_adapters})")
         bias_vec = None
         if logit_bias is not None:
             bias_vec = np.zeros((self.cfg.vocab_size,), np.float32)
@@ -359,10 +367,15 @@ class ServingEngine:
         time-to-first-token, total residency, tokens generated.
         Available once the request is done."""
         req = self._done[rid]
+
+        def since_submit(step):
+            # Aborted requests can be missing lifecycle events;
+            # report None instead of negative deltas.
+            return None if step < 0 else step - req.submitted_step
         return {
-            "queue_steps": req.admitted_step - req.submitted_step,
-            "ttft_steps": req.first_token_step - req.submitted_step,
-            "total_steps": req.done_step - req.submitted_step,
+            "queue_steps": since_submit(req.admitted_step),
+            "ttft_steps": since_submit(req.first_token_step),
+            "total_steps": since_submit(req.done_step),
             "generated": len(req.out),
         }
 
@@ -570,6 +583,9 @@ class ServingEngine:
         hit = 0
         if self.prefix_cache is not None:
             borrowed, hit = self.prefix_cache.lookup(req.prompt)
+            # Stats are counted below only when the admission
+            # SUCCEEDS — a pool-exhausted request retries lookup every
+            # step and must not inflate hit/miss counters.
         try:
             pages = self.alloc.reserve(seq=free,
                                        num_tokens=budget - hit)
@@ -586,6 +602,9 @@ class ServingEngine:
                     self.alloc.release_pages(borrowed)
                 return False    # retry after a retirement
         del self._queue[qi]
+        if self.prefix_cache is not None:
+            self.prefix_cache.hit_tokens += hit
+            self.prefix_cache.miss_tokens += len(req.prompt) - hit
         req.slot = free
         req.admitted_step = self.n_steps
         if req.logit_bias is not None:

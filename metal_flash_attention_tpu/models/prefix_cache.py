@@ -94,10 +94,11 @@ class PrefixCache:
             parent = d
         if pages:
             self._alloc.retain(pages)
-        hit = len(pages) * ps
-        self.hit_tokens += hit
-        self.miss_tokens += len(prompt) - hit
-        return pages, hit
+        # NOTE: hit/miss counters are NOT updated here — a caller that
+        # retries lookup (the engine's pool-exhausted admission path)
+        # would inflate them; the engine adds to .hit_tokens /
+        # .miss_tokens once per successful admission.
+        return pages, len(pages) * ps
 
     def register(self, prompt: np.ndarray, pages) -> int:
         """Insert every COMPLETE page of ``prompt`` (whose KV lives in
@@ -133,16 +134,32 @@ class PrefixCache:
         callers should re-check ``alloc.free_pages``.)  Returns the
         number of pages freed to the pool."""
         freed = 0
-        while freed < n_pages and self._entries:
-            parents = {e[2] for e in self._entries.values()}
-            leaves = [(e[3], d) for d, e in self._entries.items()
-                      if d not in parents]
-            _, victim = min(leaves)
-            e = self._entries.pop(victim)
+        # Child counts built once; evicting a leaf decrements its
+        # parent's count (may free a new leaf) — linear, not the
+        # O(entries^2) rebuild-per-eviction scan.
+        children: dict[bytes, int] = {}
+        for e in self._entries.values():
+            children[e[2]] = children.get(e[2], 0) + 1
+        import heapq
+        heap = [(e[3], d) for d, e in self._entries.items()
+                if children.get(d, 0) == 0]
+        heapq.heapify(heap)
+        while freed < n_pages and heap:
+            tick, victim = heapq.heappop(heap)
+            e = self._entries.get(victim)
+            if e is None or e[3] != tick:
+                continue                      # stale heap entry
+            del self._entries[victim]
             before = self._alloc.refcount(e[0])
             self._alloc.release_pages([e[0]])
             if before == 1:
                 freed += 1
+            parent = e[2]
+            if parent:
+                children[parent] -= 1
+                if children[parent] == 0 and parent in self._entries:
+                    heapq.heappush(
+                        heap, (self._entries[parent][3], parent))
         return freed
 
     def flush(self) -> None:
