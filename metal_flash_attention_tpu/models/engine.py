@@ -49,8 +49,7 @@ def _sample_rows(logits, base_key, rids, idxs, temp, top_k, top_p):
     REQUEST, not the slot, so a request's sampled stream is invariant
     to batch composition (what else is running, which slot it landed
     in) — the same determinism contract the greedy path has."""
-    keys = jax.vmap(lambda r, t: jax.random.fold_in(
-        jax.random.fold_in(base_key, r), t))(rids, idxs)
+    keys = serving._row_keys(base_key, rids, idxs)
     return serving.sample_token_per_row(logits, keys, temp, top_k,
                                         top_p)
 

@@ -1300,6 +1300,42 @@ def beam_generate(params: dict, prompt: jax.Array,
 # Burst decode: K steps per dispatch
 # ---------------------------------------------------------------------------
 
+def _row_keys(base_key, rids, idxs):
+    """Request-addressed per-row PRNG keys:
+    fold_in(fold_in(seed, rid), token_index) — the single definition
+    the engine sampler and both burst scan bodies share, so a sampled
+    stream is one pure function of (seed, rid, position) everywhere."""
+    return jax.vmap(lambda r, t: jax.random.fold_in(
+        jax.random.fold_in(base_key, r), t))(rids, idxs)
+
+
+def _burst_choose(logits, tok, alive, rem, i, *, base_key, rids, idx0,
+                  temp, top_k, top_p, stop_ids, logit_bias,
+                  want_logprobs):
+    """Shared tail of the burst scan bodies: bias, sample, (unbiased)
+    logprob, emit/stop/budget bookkeeping.  Kept in ONE place — the
+    'burst streams == single-step streams' contract relies on every
+    burst variant deriving keys and logprobs identically."""
+    b = logits.shape[0]
+    keys = _row_keys(base_key, rids, idx0 + i)
+    biased = logits if logit_bias is None else logits + logit_bias
+    nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
+    if want_logprobs:
+        # logprobs report the model's UNBIASED distribution.
+        l32 = logits.astype(jnp.float32)
+        lp = jnp.take_along_axis(
+            l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
+            l32, axis=-1)
+    else:
+        lp = jnp.zeros((b,), jnp.float32)
+    emit = alive & (rem > 0)
+    hit_stop = (nxt[:, None] == stop_ids).any(axis=-1)
+    alive2 = emit & ~hit_stop & (rem > 1)
+    tok2 = jnp.where(alive2, nxt, tok)
+    return (tok2, alive2, rem - emit,
+            jnp.where(emit, nxt, -1), emit, lp)
+
+
 def paged_decode_burst(params: dict, token: jax.Array,
                        cfg: llama.LlamaConfig, cache: PagedModelCache,
                        *, n_steps: int, active: jax.Array,
@@ -1353,24 +1389,12 @@ def paged_decode_burst(params: dict, token: jax.Array,
         # is harmless and never readable).
         cache2 = cache2._replace(
             lengths=jnp.where(alive, cache2.lengths, cache.lengths))
-        keys = jax.vmap(lambda r, t: jax.random.fold_in(
-            jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
-        biased = logits if logit_bias is None else logits + logit_bias
-        nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
-        if want_logprobs:
-            # logprobs report the model's UNBIASED distribution.
-            l32 = logits.astype(jnp.float32)
-            lp = jnp.take_along_axis(
-                l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
-                l32, axis=-1)
-        else:
-            lp = jnp.zeros((b,), jnp.float32)
-        emit = alive & (rem > 0)
-        hit_stop = (nxt[:, None] == stop_ids).any(axis=-1)
-        alive2 = emit & ~hit_stop & (rem > 1)
-        tok2 = jnp.where(alive2, nxt, tok)
-        return ((tok2, cache2, alive2, rem - emit),
-                (jnp.where(emit, nxt, -1), emit, lp))
+        tok2, alive2, rem2, out_tok, emit, lp = _burst_choose(
+            logits, tok, alive, rem, i, base_key=base_key, rids=rids,
+            idx0=idx0, temp=temp, top_k=top_k, top_p=top_p,
+            stop_ids=stop_ids, logit_bias=logit_bias,
+            want_logprobs=want_logprobs)
+        return ((tok2, cache2, alive2, rem2), (out_tok, emit, lp))
 
     (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(
         body, (token, cache, active, remaining),
@@ -1400,23 +1424,12 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
         tok, cache, alive, rem = carry
         logits, cache2 = paged_decode_step_q(params, tok, cfg, cache,
                                              alive)
-        keys = jax.vmap(lambda r, t: jax.random.fold_in(
-            jax.random.fold_in(base_key, r), t))(rids, idx0 + i)
-        biased = logits if logit_bias is None else logits + logit_bias
-        nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
-        if want_logprobs:
-            l32 = logits.astype(jnp.float32)
-            lp = jnp.take_along_axis(
-                l32, nxt[:, None], axis=1)[:, 0] - jax.nn.logsumexp(
-                l32, axis=-1)
-        else:
-            lp = jnp.zeros((b,), jnp.float32)
-        emit = alive & (rem > 0)
-        hit_stop = (nxt[:, None] == stop_ids).any(axis=-1)
-        alive2 = emit & ~hit_stop & (rem > 1)
-        tok2 = jnp.where(alive2, nxt, tok)
-        return ((tok2, cache2, alive2, rem - emit),
-                (jnp.where(emit, nxt, -1), emit, lp))
+        tok2, alive2, rem2, out_tok, emit, lp = _burst_choose(
+            logits, tok, alive, rem, i, base_key=base_key, rids=rids,
+            idx0=idx0, temp=temp, top_k=top_k, top_p=top_p,
+            stop_ids=stop_ids, logit_bias=logit_bias,
+            want_logprobs=want_logprobs)
+        return ((tok2, cache2, alive2, rem2), (out_tok, emit, lp))
 
     (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(
         body, (token, cache, active, remaining),
