@@ -1435,3 +1435,33 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
         body, (token, cache, active, remaining),
         jnp.arange(n_steps))
     return (toks.T, valid.T, lps.T, cache, alive)
+
+
+def sink_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                kv_lens: jax.Array, *, window: int, sink: int = 4,
+                scale: Optional[float] = None) -> jax.Array:
+    """Attention-sink decode (StreamingLLM's A-shaped pattern): each
+    token attends the first ``sink`` positions PLUS the most recent
+    ``window`` — the anchor tokens keep the softmax distribution
+    stable when plain sliding-window decode would drop them, which is
+    what lets window-bounded decoding run far past the window without
+    perplexity blow-up.
+
+    Two masked segments = two `flash_decode` partials merged by the
+    online-softmax combine (the same merge as the quantized prefix /
+    context-parallel paths); when ``kv_lens <= sink + window`` the
+    segments tile the whole prefix exactly and this equals full
+    attention.  Positions are absolute (K rows carry their RoPE), so
+    the cache is the ordinary dense cache — no rolling relayout.
+    """
+    sink_lens = jnp.minimum(kv_lens, sink)
+    o_s, lse_s = flash_decode(q, k_cache, v_cache, kv_lens=sink_lens,
+                              scale=scale, return_residuals=True,
+                              block_kv=128)
+    starts = jnp.maximum(kv_lens - window, sink)
+    o_w, lse_w = flash_decode(q, k_cache, v_cache, kv_lens=kv_lens,
+                              kv_starts=starts, scale=scale,
+                              return_residuals=True)
+    return _merge_partials(o_s.astype(jnp.float32), lse_s,
+                           o_w.astype(jnp.float32), lse_w
+                           ).astype(q.dtype)

@@ -215,3 +215,45 @@ def test_decode_nf4_fallback_padded_head_dim(rng):
     o = flash_decode(q, kq, vq)
     o_ref = golden_decode(q, dequantize(kq), dequantize(vq))
     assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
+
+
+def test_sink_decode_matches_masked_reference():
+    """Attention-sink decode == full attention under the A-shaped
+    mask (first `sink` positions + last `window`), and == full
+    attention outright when the prefix fits in sink + window."""
+    import numpy as np
+
+    from metal_flash_attention_tpu.models.serving import sink_decode
+
+    rng = np.random.default_rng(97)
+    b, qh, kvh, S, d = 2, 4, 2, 96, 64
+    q = jnp.asarray(rng.standard_normal((b, qh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kvh, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kvh, S, d)), jnp.float32)
+    lens = jnp.asarray([90, 40], jnp.int32)
+    sink, window = 4, 32
+
+    o = sink_decode(q, k, v, lens, window=window, sink=sink)
+
+    # jnp reference with the explicit A-shaped mask.
+    group = qh // kvh
+    kr = jnp.repeat(k, group, axis=1)
+    vr = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhd,bhsd->bhs", q, kr) / np.sqrt(d)
+    pos = jnp.arange(S)[None, :]
+    allowed = (pos < sink) | (pos >= (lens[:, None] - window))
+    allowed &= pos < lens[:, None]
+    s = jnp.where(allowed[:, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhs,bhsd->bhd", p, vr)
+    err = float(jnp.max(jnp.abs(o - ref)))
+    assert err < 2e-4, err
+    # Row 1 (len 40 > sink+window=36) actually drops middle tokens;
+    # row 0 too.  A short prefix equals FULL attention:
+    lens2 = jnp.asarray([30, 20], jnp.int32)
+    o2 = sink_decode(q, k, v, lens2, window=window, sink=sink)
+    s2 = jnp.einsum("bhd,bhsd->bhs", q, kr) / np.sqrt(d)
+    s2 = jnp.where((pos < lens2[:, None])[:, None, :], s2, -jnp.inf)
+    ref2 = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(s2, -1), vr)
+    err2 = float(jnp.max(jnp.abs(o2 - ref2)))
+    assert err2 < 2e-4, err2
