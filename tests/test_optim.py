@@ -88,3 +88,44 @@ def test_gradient_accumulation_matches_large_batch():
         a.astype(jnp.float32) - b.astype(jnp.float32))))
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)))
     assert err < 2e-2, err   # bf16 re-round noise only
+
+
+def test_train_loop_matches_single_steps():
+    """make_train_loop (K optimizer updates per dispatch) reproduces
+    the K-fold single-step trajectory: same losses, same params."""
+    import optax
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.models.optim import (
+        make_train_loop,
+        make_train_step,
+    )
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(63)
+    K = 4
+    batches = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (K, 2, 24)), jnp.int32)
+
+    def loss(p, batch):
+        return llama.loss_fn(p, batch, cfg)
+
+    tx = optax.adamw(1e-3)
+    init_s, step = make_train_step(loss, tx)
+    step = jax.jit(step)
+    p1, s1 = params, init_s(params)
+    losses1 = []
+    for i in range(K):
+        p1, s1, l = step(p1, s1, batches[i])
+        losses1.append(float(l))
+
+    init_l, loop = make_train_loop(loss, tx, steps_per_call=K)
+    loop = jax.jit(loop)
+    p2, s2, losses2 = loop(params, init_l(params), batches)
+    np.testing.assert_allclose(np.asarray(losses2), losses1,
+                               rtol=2e-5, atol=2e-5)
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)))), p1, p2)
+    assert max(jax.tree.leaves(d)) < 3e-3, d
