@@ -23,7 +23,22 @@ from metal_flash_attention_tpu.models import llama
 
 def config_from_hf_llama(hf_config, dtype=jnp.bfloat16
                          ) -> llama.LlamaConfig:
-    """Map a `transformers.LlamaConfig` onto :class:`LlamaConfig`."""
+    """Map a `transformers.LlamaConfig` (or Qwen2Config — same
+    geometry fields) onto :class:`LlamaConfig`, including Llama-3.1
+    `rope_type="llama3"` frequency scaling when present."""
+    kw = {}
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs:
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rtype != "llama3":
+            raise ValueError(f"unsupported rope_scaling: {rtype}")
+        kw = dict(
+            rope_scaling_factor=float(rs["factor"]),
+            rope_low_freq_factor=float(rs["low_freq_factor"]),
+            rope_high_freq_factor=float(rs["high_freq_factor"]),
+            rope_original_max_position=int(
+                rs["original_max_position_embeddings"]),
+        )
     return llama.LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
@@ -35,6 +50,7 @@ def config_from_hf_llama(hf_config, dtype=jnp.bfloat16
         rope_theta=float(hf_config.rope_theta),
         norm_eps=float(hf_config.rms_norm_eps),
         dtype=dtype,
+        **kw,
     )
 
 
@@ -70,7 +86,7 @@ def params_from_hf_llama(model_or_state_dict, cfg: llama.LlamaConfig
     layers = []
     for i in range(cfg.n_layers):
         lp = f"{pfx}layers.{i}."
-        layers.append({
+        layer = {
             "wq": lin(lp + "self_attn.q_proj.weight"),
             "wk": lin(lp + "self_attn.k_proj.weight"),
             "wv": lin(lp + "self_attn.v_proj.weight"),
@@ -80,7 +96,14 @@ def params_from_hf_llama(model_or_state_dict, cfg: llama.LlamaConfig
             "w_down": lin(lp + "mlp.down_proj.weight"),
             "attn_norm": norm(lp + "input_layernorm.weight"),
             "mlp_norm": norm(lp + "post_attention_layernorm.weight"),
-        })
+        }
+        # Qwen2-style q/k/v biases, when the checkpoint carries them.
+        for bn, hn in (("bq", "q_proj"), ("bk", "k_proj"),
+                       ("bv", "v_proj")):
+            key = lp + f"self_attn.{hn}.bias"
+            if key in sd:
+                layer[bn] = jnp.asarray(get(key), cfg.dtype)
+        layers.append(layer)
     embed = jnp.asarray(get(pfx + "embed_tokens.weight"), cfg.dtype)
     if "lm_head.weight" in sd:
         lm_head = lin("lm_head.weight")

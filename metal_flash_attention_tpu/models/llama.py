@@ -46,6 +46,15 @@ class LlamaConfig:
     hidden_dim: int = 14336
     rope_theta: float = 500000.0
     norm_eps: float = 1e-5
+    # Llama-3.1-style RoPE frequency scaling ("rope_type: llama3"):
+    # low-frequency components stretch by `factor`, high-frequency
+    # ones stay, mid-band interpolates smoothly — long-context
+    # checkpoints (3.1+) need this or positions past the original
+    # window degrade.  None = no scaling (Llama-3.0 and earlier).
+    rope_scaling_factor: Optional[float] = None
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     dtype: object = jnp.bfloat16
 
     @property
@@ -121,10 +130,30 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_frequencies(cfg: LlamaConfig, positions: jax.Array):
-    """positions [..., seq] -> (cos, sin) [..., seq, head_dim/2]."""
+    """positions [..., seq] -> (cos, sin) [..., seq, head_dim/2].
+
+    With ``rope_scaling_factor`` set, applies the Llama-3.1 rule:
+    wavelengths longer than orig_max/low_freq_factor divide by the
+    factor, shorter than orig_max/high_freq_factor keep, and the band
+    between interpolates by the smoothing coefficient — matching HF's
+    `rope_type="llama3"` implementation."""
     half = cfg.head_dim // 2
     freqs = cfg.rope_theta ** (
         -jnp.arange(0, half, dtype=jnp.float32) / half)
+    scaling = getattr(cfg, "rope_scaling_factor", None)
+    if scaling is not None:
+        factor = float(scaling)
+        lo_f = float(cfg.rope_low_freq_factor)
+        hi_f = float(cfg.rope_high_freq_factor)
+        orig = float(cfg.rope_original_max_position)
+        wavelen = 2.0 * jnp.pi / freqs
+        smooth = jnp.clip(
+            (orig / wavelen - lo_f) / (hi_f - lo_f), 0.0, 1.0)
+        freqs = jnp.where(
+            wavelen > orig / lo_f, freqs / factor,
+            jnp.where(wavelen < orig / hi_f, freqs,
+                      (1.0 - smooth) * freqs / factor
+                      + smooth * freqs))
     angles = positions[..., None].astype(jnp.float32) * freqs
     return jnp.cos(angles), jnp.sin(angles)
 
@@ -160,6 +189,9 @@ def attention_block(
 
     def proj(name):
         y = h @ layer[name]
+        bias = layer.get("b" + name[1:])   # Qwen2-style q/k/v bias
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         if lora_layer is not None and name in lora_layer:
             from metal_flash_attention_tpu.models.lora import apply_lora
             ids = (lora_ids if lora_ids is not None

@@ -107,6 +107,9 @@ def _layer_qkv(layer: dict, x: jax.Array, cfg: llama.LlamaConfig,
 
     def proj(name):
         y = h @ layer[name]
+        bias = layer.get("b" + name[1:])   # Qwen2-style q/k/v bias
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         if lora_layer is not None and name in lora_layer:
             y = y + apply_lora(h, lora_layer[name], lora_ids)
         return y

@@ -95,3 +95,69 @@ def test_gemma2_forward_matches_hf():
                             cfg)
     err = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
     assert err < 2e-3, err
+
+
+def test_llama31_rope_scaling_matches_hf():
+    """rope_type="llama3" frequency scaling: converted forward matches
+    HF with a scaled-RoPE config (positions past the smoothing band
+    exercise all three branches of the rule)."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=256, max_position_embeddings=256,
+        rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(2)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = convert.config_from_hf_llama(hf_cfg, dtype=jnp.float32)
+    assert cfg.rope_scaling_factor == 8.0
+    params = convert.params_from_hf_llama(model, cfg)
+    rng = np.random.default_rng(85)
+    tokens = rng.integers(0, 256, (2, 48)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                            cfg)
+    err = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
+    assert err < 2e-3, err
+
+
+def test_qwen2_bias_matches_hf():
+    """Qwen2 (llama geometry + q/k/v biases): converted forward
+    matches HF's Qwen2 reference."""
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM
+
+    hf_cfg = HFQwen2Config(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=256, max_position_embeddings=512,
+        rope_theta=10000.0, attention_dropout=0.0,
+        tie_word_embeddings=False, use_sliding_window=False)
+    torch.manual_seed(3)
+    model = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = convert.config_from_hf_llama(hf_cfg, dtype=jnp.float32)
+    params = convert.params_from_hf_llama(model, cfg)
+    assert "bq" in params["layers"][0]      # biases converted
+    rng = np.random.default_rng(87)
+    tokens = rng.integers(0, 256, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                            cfg)
+    err = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
+    assert err < 2e-3, err
+    # serving path with biases
+    ref = serving.generate(params, jnp.asarray(tokens[:1], jnp.int32),
+                           cfg, max_new_tokens=4)
+    with torch.no_grad():
+        hf_out = model.generate(torch.from_numpy(tokens[:1]),
+                                max_new_tokens=4, do_sample=False,
+                                num_beams=1, pad_token_id=0).numpy()[0]
+    assert np.asarray(ref)[0].tolist() == hf_out.tolist()
