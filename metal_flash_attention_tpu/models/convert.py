@@ -39,6 +39,10 @@ def config_from_hf_llama(hf_config, dtype=jnp.bfloat16
             rope_original_max_position=int(
                 rs["original_max_position_embeddings"]),
         )
+    window = getattr(hf_config, "sliding_window", None)
+    if window is not None and not getattr(hf_config,
+                                          "use_sliding_window", True):
+        window = None                     # Qwen2 gates it by a flag
     return llama.LlamaConfig(
         vocab_size=hf_config.vocab_size,
         dim=hf_config.hidden_size,
@@ -49,6 +53,7 @@ def config_from_hf_llama(hf_config, dtype=jnp.bfloat16
         hidden_dim=hf_config.intermediate_size,
         rope_theta=float(hf_config.rope_theta),
         norm_eps=float(hf_config.rms_norm_eps),
+        sliding_window=(None if window is None else int(window)),
         dtype=dtype,
         **kw,
     )

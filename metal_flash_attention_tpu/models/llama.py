@@ -55,6 +55,9 @@ class LlamaConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
+    # Mistral-style sliding-window attention on EVERY layer (Gemma's
+    # alternating local/global lives in models/gemma.py instead).
+    sliding_window: Optional[int] = None
     dtype: object = jnp.bfloat16
 
     @property
@@ -209,9 +212,11 @@ def attention_block(
     if kv_cache is not None:
         k = jnp.concatenate([kv_cache[0], k], axis=2)
         v = jnp.concatenate([kv_cache[1], v], axis=2)
+    window = getattr(cfg, "sliding_window", None)
     if mesh is None:
         o = flash_attention(
-            q, k, v, causal=True, block_q=block_q, block_kv=block_kv)
+            q, k, v, causal=True, window_size=window,
+            block_q=block_q, block_kv=block_kv)
     elif CONTEXT_AXIS in mesh.shape and mesh.shape[CONTEXT_AXIS] > 1:
         # Long-context tier (BASELINE config 5): the sequence is
         # sharded over the context axis; ring attention rotates KV
@@ -241,7 +246,7 @@ def attention_block(
         spec = P(DATA_AXIS, HEAD_AXIS, None, None)
         attn = shard_map(
             lambda q_, k_, v_: flash_attention(
-                q_, k_, v_, causal=True,
+                q_, k_, v_, causal=True, window_size=window,
                 block_q=block_q, block_kv=block_kv),
             mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
         o = attn(q, k, v)

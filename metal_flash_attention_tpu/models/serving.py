@@ -153,8 +153,12 @@ def decode_step(params: dict, token: jax.Array, cfg: llama.LlamaConfig,
         k_out.append(kc)
         v_out.append(vc)
 
+        window = getattr(cfg, "sliding_window", None)
+        starts = (None if window is None else
+                  jnp.maximum(cache.lengths + 1 - window, 0))
         o = flash_decode(
-            q[:, :, 0], kc, vc, kv_lens=cache.lengths + 1)
+            q[:, :, 0], kc, vc, kv_lens=cache.lengths + 1,
+            kv_starts=starts)
         o = o.reshape(b, 1, -1)
         x = x + (o @ layer["wo"]).astype(x.dtype)
         x = llama.mlp_block(layer, x, cfg)
@@ -494,11 +498,14 @@ def paged_chunk_step(params: dict, tokens: jax.Array,
                          cache.lengths), k, v)
         k_pools.append(layer_cache.k_pages)
         v_pools.append(layer_cache.v_pages)
+        window = getattr(cfg, "sliding_window", None)
         if mesh is None:
-            o = paged_prefill(q.astype(cfg.dtype), layer_cache)
+            o = paged_prefill(q.astype(cfg.dtype), layer_cache,
+                              window_size=window)
         else:
             o = _paged_attn_tp(paged_prefill, mesh,
-                               q.astype(cfg.dtype), layer_cache)
+                               q.astype(cfg.dtype), layer_cache,
+                               window_size=window)
         o = o.transpose(0, 2, 1, 3).reshape(b, kc, -1)
         x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
         x = _ffn_block(layer, x, cfg, mesh=mesh)
@@ -531,12 +538,14 @@ def paged_decode_step(params: dict, token: jax.Array,
                          cache.lengths), k, v)
         k_pools.append(layer_cache.k_pages)
         v_pools.append(layer_cache.v_pages)
+        window = getattr(cfg, "sliding_window", None)
         if mesh is None:
-            o = paged_decode(q[:, :, 0].astype(cfg.dtype), layer_cache)
+            o = paged_decode(q[:, :, 0].astype(cfg.dtype),
+                             layer_cache, window_size=window)
         else:
             o = _paged_attn_tp(paged_decode, mesh,
                                q[:, :, 0].astype(cfg.dtype),
-                               layer_cache)
+                               layer_cache, window_size=window)
         o = o.reshape(b, 1, -1)
         x = x + _wo_proj(o, layer, ll, lora_ids).astype(x.dtype)
         x = _ffn_block(layer, x, cfg, mesh=mesh)

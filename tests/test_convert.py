@@ -161,3 +161,41 @@ def test_qwen2_bias_matches_hf():
                                 max_new_tokens=4, do_sample=False,
                                 num_beams=1, pad_token_id=0).numpy()[0]
     assert np.asarray(ref)[0].tolist() == hf_out.tolist()
+
+
+def test_mistral_sliding_window_matches_hf():
+    """Mistral (llama geometry + every-layer sliding window):
+    converted forward matches HF with a window shorter than the
+    prompt, through both the training path and the paged serving
+    path."""
+    from transformers import MistralConfig as HFMistralConfig
+    from transformers import MistralForCausalLM
+
+    hf_cfg = HFMistralConfig(
+        vocab_size=256, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=256, max_position_embeddings=512,
+        rope_theta=10000.0, sliding_window=8,
+        attention_dropout=0.0, tie_word_embeddings=False)
+    torch.manual_seed(4)
+    model = MistralForCausalLM(hf_cfg).eval()
+    cfg = convert.config_from_hf_llama(hf_cfg, dtype=jnp.float32)
+    assert cfg.sliding_window == 8
+    params = convert.params_from_hf_llama(model, cfg)
+    rng = np.random.default_rng(89)
+    tokens = rng.integers(0, 256, (2, 24)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
+    ours, _ = llama.forward(params, jnp.asarray(tokens, jnp.int32),
+                            cfg)
+    err = float(np.max(np.abs(np.asarray(ours) - hf_logits)))
+    assert err < 2e-3, err
+    # paged serving path (chunked prefill + windowed paged decode)
+    ref = serving.paged_generate(params,
+                                 jnp.asarray(tokens[:1], jnp.int32),
+                                 cfg, max_new_tokens=4, page_size=16)
+    with torch.no_grad():
+        hf_out = model.generate(torch.from_numpy(tokens[:1]),
+                                max_new_tokens=4, do_sample=False,
+                                num_beams=1, pad_token_id=0).numpy()[0]
+    assert np.asarray(ref)[0].tolist() == hf_out.tolist()
