@@ -188,11 +188,13 @@ def forward_hidden(
     *, positions: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     mesh: Optional[Mesh] = None,
+    remat: bool = False,
 ):
     """tokens [batch, seq] -> (final-norm hidden states, kv_caches) —
     everything up to (not including) the tied lm head, so the training
     loss can fuse head GEMM + softcap into the chunked cross-entropy
-    (models/losses.py)."""
+    (models/losses.py).  ``remat=True``: per-layer jax.checkpoint
+    (see llama.forward_hidden)."""
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
@@ -203,13 +205,20 @@ def forward_hidden(
     x = params["embed"][tokens].astype(cfg.dtype)
     x = x * jnp.asarray(math.sqrt(cfg.dim), cfg.dtype)  # Gemma scaling
     new_caches = []
+
+    def one_layer(layer, x, cache, window):
+        x, kv = attention_block(layer, x, cfg, cos, sin,
+                                window=window, kv_cache=cache,
+                                mesh=mesh)
+        return mlp_block(layer, x, cfg), kv
+
+    step = (jax.checkpoint(one_layer, static_argnums=(3,))
+            if remat else one_layer)
     for i, layer in enumerate(params["layers"]):
         window = cfg.sliding_window if is_local_layer(i) else None
         cache = kv_caches[i] if kv_caches is not None else None
-        x, kv = attention_block(layer, x, cfg, cos, sin, window=window,
-                                kv_cache=cache, mesh=mesh)
+        x, kv = step(layer, x, cache, window)
         new_caches.append(kv)
-        x = mlp_block(layer, x, cfg)
     return rms_norm(x, params["final_norm"], cfg.norm_eps), new_caches
 
 

@@ -274,27 +274,39 @@ def forward_hidden(
     block_q: Optional[int] = None, block_kv: Optional[int] = None,
     mesh: Optional[Mesh] = None,
     lora: Optional[dict] = None, lora_ids: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
     """tokens [batch, seq] -> (final-norm hidden states [batch, seq,
     dim], kv_caches) — everything up to (not including) the lm head,
     so the training loss can fuse the head GEMM into a chunked
     cross-entropy (models/losses.py) instead of materializing
-    [batch, seq, vocab] logits."""
+    [batch, seq, vocab] logits.
+
+    ``remat=True`` wraps each transformer layer in `jax.checkpoint`:
+    the backward pass recomputes layer activations instead of storing
+    them — activation memory drops from O(layers) to O(1) layers at
+    ~1/3 extra forward FLOPs, the standard trade that lets long
+    sequences / big batches fit HBM."""
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     cos, sin = rope_frequencies(cfg, positions)
     x = params["embed"][tokens].astype(cfg.dtype)
     new_caches = []
-    for i, layer in enumerate(params["layers"]):
-        cache = kv_caches[i] if kv_caches is not None else None
+
+    def one_layer(layer, x, cache, lora_layer):
         x, kv = attention_block(
             layer, x, cfg, cos, sin, kv_cache=cache,
             block_q=block_q, block_kv=block_kv, mesh=mesh,
-            lora_layer=None if lora is None else lora["layers"][i],
-            lora_ids=lora_ids)
+            lora_layer=lora_layer, lora_ids=lora_ids)
+        return mlp_block(layer, x, cfg), kv
+
+    step = jax.checkpoint(one_layer) if remat else one_layer
+    for i, layer in enumerate(params["layers"]):
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, kv = step(layer, x, cache,
+                     None if lora is None else lora["layers"][i])
         new_caches.append(kv)
-        x = mlp_block(layer, x, cfg)
     return rms_norm(x, params["final_norm"], cfg.norm_eps), new_caches
 
 

@@ -212,7 +212,7 @@ def param_shardings(cfg: MoEConfig, mesh: Mesh) -> dict:
 def forward_hidden(params: dict, tokens: jax.Array, cfg: MoEConfig,
                    *, positions: Optional[jax.Array] = None,
                    kv_caches: Optional[list] = None,
-                   mesh: Optional[Mesh] = None):
+                   mesh: Optional[Mesh] = None, remat: bool = False):
     """tokens [batch, seq] -> (final-norm hidden states, kv_caches,
     aux_loss) — everything up to (not including) the lm head."""
     base_cfg = _base_cfg(cfg)
@@ -223,14 +223,19 @@ def forward_hidden(params: dict, tokens: jax.Array, cfg: MoEConfig,
     x = params["embed"][tokens].astype(cfg.dtype)
     new_caches = []
     aux_total = 0.0
-    for i, layer in enumerate(params["layers"]):
-        cache = kv_caches[i] if kv_caches is not None else None
+
+    def one_layer(layer, x, cache):
         x, kv = llama.attention_block(
             layer, x, base_cfg, cos, sin, kv_cache=cache, mesh=mesh)
-        new_caches.append(kv)
         h = llama.rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
         y, aux = moe_ffn(layer["moe"], h, cfg, mesh=mesh)
-        x = x + y
+        return x + y, kv, aux
+
+    step = jax.checkpoint(one_layer) if remat else one_layer
+    for i, layer in enumerate(params["layers"]):
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, kv, aux = step(layer, x, cache)
+        new_caches.append(kv)
         aux_total = aux_total + aux
     x = llama.rms_norm(x, params["final_norm"], cfg.norm_eps)
     return x, new_caches, aux_total / cfg.n_layers

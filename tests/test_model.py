@@ -118,3 +118,40 @@ def test_forward_context_parallel_ring(rng):
         lambda p, t: llama.forward(p, t, cfg, mesh=mesh))(params, tokens)
     logits_ref, _ = llama.forward(params, tokens, cfg)
     assert float(jnp.max(jnp.abs(logits_ring - logits_ref))) < 0.1
+
+
+def test_remat_matches_plain_gradients():
+    """remat=True (per-layer jax.checkpoint) computes the same loss
+    and gradients as the plain forward for all three families."""
+    from metal_flash_attention_tpu.models import gemma, llama, moe
+
+    rng = np.random.default_rng(67)
+
+    cfg = llama.LlamaConfig.tiny(n_layers=2)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)),
+                       jnp.int32)
+    l0, g0 = jax.value_and_grad(
+        lambda p: llama.loss_fn(p, toks, cfg))(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: llama.loss_fn(p, toks, cfg, remat=True))(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(
+        a.astype(jnp.float32) - b.astype(jnp.float32)))), g0, g1)
+    assert max(jax.tree.leaves(d)) < 1e-5, d
+
+    gcfg = gemma.GemmaConfig.tiny(sliding_window=16)
+    gparams = gemma.init_params(jax.random.PRNGKey(1), gcfg)
+    gtoks = jnp.asarray(rng.integers(0, gcfg.vocab_size, (2, 24)),
+                        jnp.int32)
+    gl0 = float(gemma.loss_fn(gparams, gtoks, gcfg))
+    gl1 = float(gemma.loss_fn(gparams, gtoks, gcfg, remat=True))
+    assert abs(gl0 - gl1) < 1e-6
+
+    mcfg = moe.MoEConfig.tiny(n_layers=2)
+    mparams = moe.init_params(jax.random.PRNGKey(2), mcfg)
+    mtoks = jnp.asarray(rng.integers(0, mcfg.vocab_size, (2, 24)),
+                        jnp.int32)
+    ml0 = float(moe.loss_fn(mparams, mtoks, mcfg))
+    ml1 = float(moe.loss_fn(mparams, mtoks, mcfg, remat=True))
+    assert abs(ml0 - ml1) < 1e-6
