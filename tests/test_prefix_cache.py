@@ -182,3 +182,53 @@ def test_engine_prefix_cache_eviction_under_pressure(setup):
     # The cache never blocked progress and stayed within the pool.
     assert eng.alloc.free_pages >= 1
     assert eng.prefix_cache.hit_tokens == 0   # all prompts distinct
+
+
+@pytest.mark.parametrize("cls", [NativePageAllocator,
+                                 PythonPageAllocator])
+def test_allocator_concurrent_stress(cls):
+    """Thread-safety under mixed reserve/retain/release traffic:
+    page conservation holds (free + live == total) and no page is
+    ever double-owned."""
+    import threading
+
+    try:
+        alloc = cls(257, 16)
+    except Exception:
+        pytest.skip("no native toolchain")
+    errors = []
+
+    def worker(tid):
+        try:
+            rng = np.random.default_rng(tid)
+            for it in range(60):
+                seq = tid * 1000 + (it % 7)
+                pages = alloc.reserve(
+                    seq=seq, num_tokens=int(rng.integers(1, 64)))
+                if pages:
+                    alloc.retain(pages)          # cache-style pin
+                    alloc.release_pages(pages)   # unpin
+                if it % 3 == 2:
+                    alloc.release(seq)
+        except PagerError:
+            pass          # pool pressure is fine; corruption is not
+        except Exception as e:            # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # Drain every sequence and verify full conservation.
+    for tid in range(8):
+        for k in range(7):
+            try:
+                alloc.release(tid * 1000 + k)
+            except Exception:
+                pass
+    assert alloc.free_pages == 256
+    for pg in range(1, 257):
+        assert alloc.refcount(pg) == 0, pg
