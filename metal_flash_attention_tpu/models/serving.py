@@ -1477,3 +1477,75 @@ def sink_decode(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return _merge_partials(o_s.astype(jnp.float32), lse_s,
                            o_w.astype(jnp.float32), lse_w
                            ).astype(q.dtype)
+
+
+def make_model_draft_fn(draft_params: dict, draft_cfg, *,
+                        prompt: jax.Array, draft_len: int,
+                        max_new_tokens: int, page_size: int = 128):
+    """Draft-model speculation for :func:`speculative_generate`: a
+    smaller model proposes each round's continuation while keeping its
+    OWN paged KV cache in sync with the verified stream.
+
+    The sync is the same ragged-consume trick as
+    `_speculative_round`: each round the drafter ingests the tokens
+    the target actually accepted (per-row 1..draft_len+1 of them) as
+    one fixed-shape chunk and rolls its lengths to the consumed
+    count; it then greedy-decodes ``draft_len`` proposals and rolls
+    those back too — the drafter's cache only ever commits VERIFIED
+    tokens, so a rejected draft can never contaminate later rounds.
+
+    Returns a stateful ``draft_fn(last, buf)`` closure for ONE
+    ``speculative_generate`` call over ``prompt`` (row identities must
+    stay fixed).  Acceptance rate depends on how well the drafter
+    tracks the target; output correctness never does (the verify
+    round guarantees plain greedy for any draft)."""
+    b, s = prompt.shape
+    kd = draft_len
+    budget = s + max_new_tokens + 4 * (kd + 1)
+    cache = init_paged_model_cache(draft_cfg, b, budget,
+                                   page_size=page_size)
+    chunk = jax.jit(paged_chunk_step, static_argnames=("cfg",))
+    step = jax.jit(paged_decode_step, static_argnames=("cfg",))
+    # Prefill the prompt (page-size chunks, same as the target).
+    logits = None
+    for i in range(0, s, page_size):
+        logits, cache = chunk(draft_params, prompt[:, i:i + page_size],
+                              draft_cfg, cache)
+    state = {"cache": cache, "consumed": np.zeros((b,), np.int64)}
+
+    def draft_fn(last, buf):
+        buf_np = np.asarray(buf)
+        counts = (buf_np != -1).sum(axis=1)
+        gained = np.zeros((b, kd + 1), np.int32)
+        n_gain = np.zeros((b,), np.int32)
+        for r in range(b):
+            new = buf_np[r, state["consumed"][r]:counts[r]]
+            n_gain[r] = len(new)
+            gained[r, :len(new)] = new
+            gained[r, len(new):] = new[-1] if len(new) else 0
+        state["consumed"] = counts.copy()
+        c = state["cache"]
+        base = c.lengths
+        logits, c = chunk(draft_params, jnp.asarray(gained),
+                          draft_cfg, c)
+        # Roll back to the verified consume count (unconsumed pad
+        # rows are dead until the next chunk overwrites them).
+        synced = base + jnp.asarray(n_gain)
+        c = c._replace(lengths=synced)
+        # Drafter's next-token logits sit at each row's last consumed
+        # position within the chunk.
+        idx = jnp.maximum(jnp.asarray(n_gain) - 1, 0)
+        row_logits = jnp.take_along_axis(
+            logits, idx[:, None, None], axis=1)[:, 0]
+        drafts = []
+        for j in range(kd):
+            tok = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
+            drafts.append(tok)
+            if j + 1 < kd:
+                row_logits, c = step(draft_params, tok, draft_cfg, c)
+        # Drop the speculative KV: only verified tokens stay
+        # committed in the drafter's cache.
+        state["cache"] = c._replace(lengths=synced)
+        return jnp.stack(drafts, axis=1)
+
+    return draft_fn

@@ -194,3 +194,43 @@ def test_gemma_speculative_draft_invariance():
         params, prompt, cfg, draft_fn=zero_fn, draft_len=2,
         max_new_tokens=8, chunk_step=serving.gemma_paged_chunk_step)
     assert out.tolist() == ref.tolist()
+
+
+def test_model_draft_fn_same_model_accepts_fully(setup):
+    """Draft-model speculation with the TARGET as its own drafter:
+    perfect acceptance — output == greedy in strictly fewer rounds
+    than tokens (the drafter's paged cache stays synced through the
+    ragged accept/rollback cycle)."""
+    cfg, params, prompt, greedy = setup
+    rounds = 0
+    inner = serving.make_model_draft_fn(
+        params, cfg, prompt=prompt, draft_len=3, max_new_tokens=12)
+
+    def counting(last, buf):
+        nonlocal rounds
+        rounds += 1
+        return inner(last, buf)
+
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=counting, draft_len=3,
+        max_new_tokens=12)
+    assert out[:, :greedy.shape[1]].tolist() == greedy.tolist()
+    assert rounds <= 5, rounds     # 12 tokens at up to 4/round
+
+
+def test_model_draft_fn_weak_drafter_still_greedy(setup):
+    """A different (random-weight) drafter: acceptance may be poor,
+    output must still equal plain greedy."""
+    cfg, params, prompt, greedy = setup
+    weak_cfg = type(cfg).tiny(n_layers=1)
+    weak = __import__(
+        "metal_flash_attention_tpu.models.llama",
+        fromlist=["init_params"]).init_params(
+        jax.random.PRNGKey(9), weak_cfg)
+    draft_fn = serving.make_model_draft_fn(
+        weak, weak_cfg, prompt=prompt, draft_len=2, max_new_tokens=10)
+    out = serving.speculative_generate(
+        params, prompt, cfg, draft_fn=draft_fn, draft_len=2,
+        max_new_tokens=10)
+    assert out[:, :prompt.shape[1] + 10].tolist() == \
+        greedy[:, :prompt.shape[1] + 10].tolist()
