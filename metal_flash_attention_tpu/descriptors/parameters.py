@@ -58,13 +58,15 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
             ),
         },
         "mixed": {
-            # Measured on TPU v5e (bf16, 128-iteration in-jit timing):
-            # D=64 -> 42% roofline (hardware-bound: 64-deep MXU
-            # contraction caps QK at half rate), D=128 -> 83%,
-            # D=256 -> 82%.  block_kv = 2048 enables the two-half
-            # MXU/VPU overlap pipeline (ops/flash_attention.py).
+            # Measured on TPU v5e (bf16, 300ms-amortized in-jit
+            # timing, r02 re-sweep): D=64 -> 44% roofline
+            # (hardware-bound: 64-deep MXU contraction caps QK at
+            # half rate — see the D=64 wall memo in
+            # ops/flash_attention.py), D=128 -> 82%, D=256 -> 87%.
+            # block_kv = 2048 enables the two-half MXU/VPU overlap
+            # pipeline (ops/flash_attention.py).
             "default": (
-                ParameterRow(64, 512, 2048),
+                ParameterRow(64, 1024, 2048),
                 ParameterRow(128, 1024, 2048),
                 ParameterRow(256, 512, 2048),
                 ParameterRow(8192, 256, 1024),
@@ -82,9 +84,14 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
             ),
         },
         "mixed": {
-            # Measured on v5e: (1024, 1024) wins at every head dim —
-            # causal wants square-ish blocks (skip waste scales with
-            # block_kv / block_q, overlap with block area).
+            # Measured on v5e (r02 per-D sweeps, 7 candidates each):
+            # (1024, 1024) wins at every head dim — causal wants
+            # square-ish blocks (skip waste scales with block_kv /
+            # block_q, overlap with block area).  Utilization of the
+            # halved work model: D=64 30% / D=128 53% @ N=4096,
+            # D=256 37% @ N=2048, D=128 71% @ N=16384 — the per-D /
+            # per-N plateau analysis lives in the
+            # ops/flash_attention.py module docstring.
             "default": (
                 ParameterRow(8192, 1024, 1024),
             ),

@@ -47,7 +47,7 @@ Pallas program tiled for the 128x128 MXU:
   `AttentionKernel+Source.swift:35-48`).
 
 Causal mid-N plateau (negative results, measured v5e 2026-08): causal
-D=128 sits at ~49% @ N=4096 / ~62% @ 8192 / ~68% @ 16384 of the
+D=128 sits at ~49-53% @ N=4096 / ~62% @ 8192 / ~68-71% @ 16384 of the
 *halved* work model, tracking the ceiling 79% / (1 + bkv/N) set by
 guard overhead + diagonal-block waste.  Three redesigns all tied with
 this kernel within noise and were removed: (a) a folded-pair kernel
@@ -61,6 +61,23 @@ to per-step fixed costs (bq=128/bkv=512 runs at 18%).  Conclusion:
 the remaining gap is per-step guard/overlap cost that every design
 pays one way or another; don't re-explore without a Mosaic-level
 change (e.g. predicated DMA-free guard elision).
+
+Per-D causal walls (measured v5e 2026-08, full autotune sweeps in the
+persistent cache; 7 block candidates each, winner (1024, 1024) at
+every D):
+- D=256 @ N=2048: 37% of the halved model.  The sweep's winner
+  (1.606 ms) is within 8% of FULL attention at the same shape
+  (1.732 ms at its own best blocks) — at N = 2 strips x 2 KV blocks
+  the diagonal (masked-body) blocks are half of all work, so halving
+  the counted work cannot halve the wall time.  Same plateau
+  phenomenon as mid-N D=128, amplified by small N/bkv; grows out of
+  it with N (the causal/full time ratio improves monotonically).
+- D=64 @ N=4096: ~30%, which is exactly the COMPOSITION of the two
+  documented walls: D=64 MXU halving (43.9% fwd) x the causal-vs-full
+  ratio at N=4096 (53.1/82.1 = 0.65) = 28% — no separate deficit.
+Both are geometry, not tuning: every candidate in the per-D sweeps
+lands within ~40% of its winner and the winner matches the D=128
+row's shape.
 
 D=64 wall (negative result, measured v5e 2026-08, probe checked in at
 experiments/d64_mxu_probe.py): D=64 fwd sits at ~42% because BOTH
