@@ -169,12 +169,18 @@ def bench_paged(*, floor, precision=None):
 def bench_engine(*, floor, kv_precision=None):
     """Continuous-batching engine steady-state decode vs a raw
     `paged_decode_step` loop at the same batch (VERDICT r1 weak #4:
-    the engine must sit within ~10% of the raw step).  Both paths pay
-    one host round-trip per step (the engine reads emitted tokens
-    back; the raw loop matches with an explicit readback), so the
-    per-step tunnel floor is subtracted from each.
-    kv_precision=INT8/FP8 measures the quantized-KV engine mode
-    against the same bf16 raw-step yardstick."""
+    the engine must sit within ~10% of the raw step).
+
+    Timing is RAW WALL-CLOCK.  Both paths pay one host round-trip per
+    step (the engine reads emitted tokens back; the raw loop matches
+    with an explicit readback), so the ~25-30 ms tunnel floor is *in*
+    both numbers identically and the engine/raw ratio is meaningful.
+    The floor is deliberately NOT subtracted: dispatch pipelining can
+    make n steps of wall time come in under n*floor, and subtracting
+    a floor per step then yields negative time (the r02 artifact's
+    "128000000000 tok/s" row — VERDICT r2 weak #1).  Absolute single-
+    step tok/s is therefore tunnel-latency-bound; the burst row is
+    the throughput story."""
     import time
 
     from metal_flash_attention_tpu.models import llama, serving
@@ -193,12 +199,21 @@ def bench_engine(*, floor, kv_precision=None):
         eng.submit(prompts[i], 512)
     for _ in range(batch + 2):     # admissions + jit warmup
         eng.step()
-    t0 = time.perf_counter()
-    emitted = 0
-    for _ in range(n_steps):
-        emitted += len(eng.step())
-    dt = time.perf_counter() - t0 - n_steps * floor
-    eng_tok_s = emitted / max(dt, 1e-9)
+
+    def timed_engine_loop():
+        t0 = time.perf_counter()
+        emitted = 0
+        for _ in range(n_steps):
+            emitted += len(eng.step())
+        dt = time.perf_counter() - t0
+        if dt <= 0 or emitted == 0:
+            raise RuntimeError(
+                f"invalid engine measurement: dt={dt} emitted={emitted}")
+        return emitted / dt
+
+    # Best of two passes (steady state; the first may still hit a
+    # sampler-shape recompile).
+    eng_tok_s = max(timed_engine_loop(), timed_engine_loop())
 
     cache = serving.init_paged_model_cache(cfg, batch, 1024)
     chunk = jax.jit(serving.paged_chunk_step, static_argnames=("cfg",))
@@ -209,23 +224,32 @@ def bench_engine(*, floor, kv_precision=None):
     token = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     logits, cache = step(params, token, cfg, cache)    # compile
     token = jnp.asarray(np.asarray(jnp.argmax(logits, -1)), jnp.int32)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        logits, cache = step(params, token, cfg, cache)
-        # Host readback per step, matching the engine's token emission.
-        token = jnp.asarray(np.asarray(jnp.argmax(logits, -1)),
-                            jnp.int32)
-    dt = time.perf_counter() - t0 - n_steps * floor
-    raw_tok_s = batch * n_steps / max(dt, 1e-9)
+
+    def timed_raw_loop():
+        nonlocal logits, cache, token
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            logits, cache = step(params, token, cfg, cache)
+            # Host readback per step, matching the engine's emission.
+            token = jnp.asarray(np.asarray(jnp.argmax(logits, -1)),
+                                jnp.int32)
+        dt = time.perf_counter() - t0
+        if dt <= 0:
+            raise RuntimeError(f"invalid raw-step measurement: dt={dt}")
+        return batch * n_steps / dt
+
+    raw_tok_s = max(timed_raw_loop(), timed_raw_loop())
     return eng_tok_s, raw_tok_s
 
 
-def bench_engine_burst(*, floor, k=16):
+def bench_engine_burst(*, floor, k=16, kv_precision=None):
     """Burst decode: k in-jit steps per dispatch.  The per-step host
     round-trip (~25 ms tunnel floor) dominates single-step serving at
     small batch; bursting amortizes it k-fold, so this row is the
-    real serving throughput.  Reported RAW (no floor subtraction —
-    the whole point is that the floor is paid once per k tokens)."""
+    real serving throughput.  Reported RAW wall-clock (no floor
+    subtraction — the whole point is that the floor is paid once per
+    k tokens).  kv_precision=INT8/FP8 measures the quantized-KV burst
+    engine (VERDICT r2 next #2: int8 burst must beat bf16 burst)."""
     import time
 
     from metal_flash_attention_tpu.models import llama
@@ -238,7 +262,7 @@ def bench_engine_burst(*, floor, k=16):
     rng = np.random.default_rng(0)
     prompts = rng.integers(1, cfg.vocab_size, (batch, prompt_len))
     eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
-                        max_seq=1024)
+                        max_seq=1024, kv_precision=kv_precision)
     for i in range(batch):
         eng.submit(prompts[i], 640)
     for _ in range(batch + 2):
@@ -250,14 +274,23 @@ def bench_engine_burst(*, floor, k=16):
     for _ in range(rounds):
         emitted += len(eng.step_burst(k))
     dt = time.perf_counter() - t0
-    return emitted / max(dt, 1e-9), rounds * floor / max(dt, 1e-9)
+    if dt <= 0 or emitted == 0:
+        raise RuntimeError(
+            f"invalid burst measurement: dt={dt} emitted={emitted}")
+    return emitted / dt, rounds * floor / dt
 
 
 def bench_prefix_cache(*, floor):
     """Automatic prefix caching: time-to-first-token for a 2048-token
     prompt cold (full 16-chunk prefill) vs warm (15 pages borrowed
-    from the cache; one tail chunk computes).  Reported as seconds
-    after subtracting the tunnel dispatch floor per engine step."""
+    from the cache; one tail chunk computes).
+
+    Reported as RAW WALL-CLOCK seconds.  Both cold and warm pay the
+    same per-engine-step dispatch pattern, so the cold/warm ratio is
+    meaningful as-is; no floor subtraction (r02 over-subtracted one
+    floor per eng.step() call, including host-side admission steps
+    that pay no device dispatch, and printed a negative cold TTFT —
+    VERDICT r2 weak #1)."""
     import time
 
     from metal_flash_attention_tpu.models import llama
@@ -274,22 +307,26 @@ def bench_prefix_cache(*, floor):
     def ttft():
         rid = eng.submit(prompt, 4)
         first = None
-        steps = 0
         t0 = time.perf_counter()
         while first is None:
             for r, t in eng.step():
                 if r == rid:
                     first = t
-            steps += 1
-        dt = time.perf_counter() - t0 - steps * floor
+        dt = time.perf_counter() - t0
         while not eng.idle:
             eng.step()
+        if dt <= 0:
+            raise RuntimeError(f"invalid TTFT measurement: dt={dt}")
         return dt
 
     ttft()                       # compile both paths' chunk shapes
+    ttft()                       # compile the warm (cache-hit) path
     eng.prefix_cache.flush()
     cold = ttft()                # full prefill, compiled
-    warm = ttft()                # 15/16 pages from cache
+    eng.prefix_cache.flush()
+    cold = min(cold, ttft())     # best-of-2 cold
+    warm = ttft()
+    warm = min(warm, ttft())     # best-of-2 warm
     return cold, warm
 
 
@@ -470,40 +507,53 @@ def main():
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
 
+    bf16_eng_tok = None
     try:
         eng_tok, raw_tok = retry_once(bench_engine, floor=floor)
-        print(f"# engine decode (4L d2048, b=4): {eng_tok:7.0f} tok/s "
+        bf16_eng_tok = eng_tok
+        print(f"# engine decode wall-clock incl ~{floor * 1e3:.0f}ms/step"
+              f" floor (4L d2048, b=4): {eng_tok:7.0f} tok/s "
               f"vs raw paged_decode_step {raw_tok:7.0f} "
-              f"({eng_tok / max(raw_tok, 1e-9):5.1%})", file=err)
+              f"({eng_tok / raw_tok:5.1%})", file=err)
     except Exception as e:
         print(f"# engine decode: FAIL {type(e).__name__}: {e}", file=err)
 
-    try:
-        burst_tok, floor_frac = retry_once(bench_engine_burst,
-                                           floor=floor, k=16)
-        print(f"# engine BURST decode (k=16, 4L d2048, b=4): "
-              f"{burst_tok:7.0f} tok/s wall "
-              f"(dispatch floor now {floor_frac:5.1%} of wall)",
-              file=err)
-    except Exception as e:
-        print(f"# engine burst: FAIL {type(e).__name__}: {e}", file=err)
+    bf16_burst_tok = None
+    for name, prec in (("bf16", None),
+                       ("int8", OperandPrecision.INT8),
+                       ("fp8_e4m3", OperandPrecision.FP8_E4M3)):
+        try:
+            burst_tok, floor_frac = retry_once(
+                bench_engine_burst, floor=floor, k=16, kv_precision=prec)
+            vs = ""
+            if prec is None:
+                bf16_burst_tok = burst_tok
+            elif bf16_burst_tok:
+                vs = f" ({burst_tok / bf16_burst_tok:5.1%} of bf16 burst)"
+            print(f"# engine BURST decode {name} (k=16, 4L d2048, b=4): "
+                  f"{burst_tok:7.0f} tok/s wall "
+                  f"(dispatch floor {floor_frac:5.1%} of wall){vs}",
+                  file=err)
+        except Exception as e:
+            print(f"# engine burst {name}: FAIL {type(e).__name__}: {e}",
+                  file=err)
 
     try:
-        eng_tok, raw_tok = retry_once(bench_engine, floor=floor,
-                                      kv_precision=OperandPrecision.INT8)
-        print(f"# engine decode int8-KV (4L d2048, b=4): "
-              f"{eng_tok:7.0f} tok/s "
-              f"({eng_tok / max(raw_tok, 1e-9):5.1%} of bf16 raw step)",
-              file=err)
+        eng_tok, _ = retry_once(bench_engine, floor=floor,
+                                kv_precision=OperandPrecision.INT8)
+        vs = (f" ({eng_tok / bf16_eng_tok:5.1%} of bf16 engine step)"
+              if bf16_eng_tok else "")
+        print(f"# engine decode int8-KV wall-clock (4L d2048, b=4): "
+              f"{eng_tok:7.0f} tok/s{vs}", file=err)
     except Exception as e:
         print(f"# engine int8-KV: FAIL {type(e).__name__}: {e}",
               file=err)
 
     try:
         cold, warm = retry_once(bench_prefix_cache, floor=floor)
-        print(f"# prefix cache TTFT (2048-tok prompt, 15/16 pages hit): "
-              f"cold {cold * 1e3:7.1f} ms -> warm {warm * 1e3:7.1f} ms "
-              f"({cold / max(warm, 1e-9):4.1f}x)", file=err)
+        print(f"# prefix cache TTFT wall-clock (2048-tok prompt, 15/16 "
+              f"pages hit): cold {cold * 1e3:7.1f} ms -> warm "
+              f"{warm * 1e3:7.1f} ms ({cold / warm:4.1f}x)", file=err)
     except Exception as e:
         print(f"# prefix cache: FAIL {type(e).__name__}: {e}", file=err)
 

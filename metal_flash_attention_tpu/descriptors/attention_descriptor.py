@@ -25,6 +25,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from metal_flash_attention_tpu.descriptors.parameters import (
+    _TABLES,
     select_block_sizes,
     tpu_generation,
 )
@@ -87,6 +88,8 @@ class AttentionDescriptor:
     window_size: Optional[int] = None
     # Softmax scale; None -> 1/sqrt(head_dim).
     scale: Optional[float] = None
+    # Gemma-2-style cap * tanh(s / cap) on attention logits.
+    logit_softcap: Optional[float] = None
 
     @property
     def resolved_scale(self) -> float:
@@ -106,12 +109,37 @@ class AttentionDescriptor:
         block_kv: Optional[int] = None,
     ) -> KernelConfig:
         """Resolve block dimensions from the parameter tables
-        (reference: AttentionDescriptor.swift:82-187)."""
+        (reference: AttentionDescriptor.swift:82-187).
+
+        Causal/windowed problems resolve the `_causal` table variant
+        (narrower KV blocks near the diagonal), and the problem's
+        q_len reaches the autotune-winner lookup — the same resolution
+        the kernels perform when called directly, so the facade and
+        the kwargs API always agree on block geometry."""
         compute = self.input_precision.compute_dtype
-        bq, bkv = select_block_sizes(
-            kernel_type.value, self.head_dim, compute,
-            generation=generation or tpu_generation(),
-        )
+        table = kernel_type.value
+        bq = bkv = None
+        if self.causal or self.window_size is not None:
+            causal_table = f"{table}_causal"
+            if causal_table in _TABLES:
+                table = causal_table
+            else:
+                # Backward kernels have no static causal rows; a
+                # causal-sweep autotune winner still lives under the
+                # suffixed key (mirrors flash_attention_bwd dispatch).
+                from metal_flash_attention_tpu.runtime.autotune import (
+                    lookup_tuned_blocks,
+                )
+                tuned = lookup_tuned_blocks(causal_table, self.head_dim,
+                                            compute, self.q_len)
+                if tuned is not None:
+                    bq, bkv = tuned
+        if bq is None:
+            bq, bkv = select_block_sizes(
+                table, self.head_dim, compute,
+                generation=generation or tpu_generation(),
+                seq_len=self.q_len,
+            )
         return KernelConfig(
             kernel_type=kernel_type,
             block_q=block_q or bq,

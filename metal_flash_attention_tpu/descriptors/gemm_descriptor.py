@@ -94,6 +94,46 @@ class GEMMDescriptor:
             return GEMMKernelConfig(bm, bn, self._pick_block_k(bm, bn,
                                                                vmem_budget))
 
+        cfg = self._heuristic_config(vmem_budget)
+
+        # Autotune-on-miss (reference: registration-time autotune on an
+        # unknown pipeline preference, GEMMDescriptor+PipelineCache
+        # .swift:75-119): first dispatch of an uncached problem key
+        # sweeps the heuristic's choice plus its three half-block
+        # neighbors and persists the winner.
+        from metal_flash_attention_tpu.descriptors.parameters import (
+            _MISS_SWEEP_ACTIVE,
+            autotune_on_miss_enabled,
+        )
+        key = self.cache_key()
+        if autotune_on_miss_enabled() and key not in _MISS_SWEEP_ACTIVE:
+            _MISS_SWEEP_ACTIVE.add(key)
+            try:
+                from metal_flash_attention_tpu.runtime.autotune import (
+                    autotune_gemm_descriptor,
+                )
+                bm, bn = cfg.block_m, cfg.block_n
+                cands = list(dict.fromkeys([
+                    (bm, bn),
+                    (max(bm // 2, 128), bn),
+                    (bm, max(bn // 2, 128)),
+                    (max(bm // 2, 128), max(bn // 2, 128)),
+                ]))
+                (bm, bn), _ = autotune_gemm_descriptor(self, cands)
+                return GEMMKernelConfig(
+                    bm, bn, self._pick_block_k(bm, bn, vmem_budget))
+            except Exception:
+                pass  # fall back to the heuristic choice
+            finally:
+                _MISS_SWEEP_ACTIVE.discard(key)
+        return cfg
+
+    def _heuristic_config(
+        self,
+        vmem_budget: Optional[int] = None,
+    ) -> GEMMKernelConfig:
+        """Static block heuristic (reference:
+        GEMMDescriptor.swift:240-323), no cache or sweep."""
         if vmem_budget is None:
             vmem_budget = DeviceContext.get().info.vmem_bytes
 

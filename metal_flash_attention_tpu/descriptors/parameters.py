@@ -24,6 +24,7 @@ text.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -31,6 +32,34 @@ import jax
 import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
+
+# ---- autotune-on-miss policy (reference: registration-time autotune,
+# GEMMDescriptor+PipelineCache.swift:75-119 — an unknown preference
+# triggers a bounded candidate sweep at first use, and the winner is
+# remembered).  Tri-state: None = env default (on, real-TPU only —
+# each candidate costs a 20-40 s XLA compile, so CPU/interpret runs
+# never sweep); True = force on (tests); False = off.
+_AUTOTUNE_ON_MISS: Optional[bool] = None
+
+
+def set_autotune_on_miss(enabled: Optional[bool]) -> None:
+    """Override the dispatch-time autotune policy (None restores the
+    `MFA_TPU_AUTOTUNE_ON_MISS` env default)."""
+    global _AUTOTUNE_ON_MISS
+    _AUTOTUNE_ON_MISS = enabled
+
+
+def autotune_on_miss_enabled() -> bool:
+    if _AUTOTUNE_ON_MISS is not None:
+        return _AUTOTUNE_ON_MISS
+    if os.environ.get("MFA_TPU_AUTOTUNE_ON_MISS", "1") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+# Reentrancy guard: the sweep calls the kernel with explicit block
+# sizes, but a concurrent/typo'd path must never sweep recursively.
+_MISS_SWEEP_ACTIVE: set = set()
 
 
 @dataclass(frozen=True)
@@ -156,6 +185,11 @@ def select_block_sizes(
     gens = _TABLES[kernel_type][regime]
     gen = generation or tpu_generation()
     rows = gens.get(gen)
+    # The "default" rows ARE the TUNED_GENERATION measurements; only a
+    # generation that truly inherits foreign rows counts as unmeasured
+    # (cpu runs interpret-mode — block choice is semantics-neutral).
+    inherited = (rows is None
+                 and gen not in (TUNED_GENERATION, "cpu", "default"))
     if rows is None:
         rows = gens["default"]
         _note_generation_fallback(gen, kernel_type, regime)
@@ -164,7 +198,69 @@ def select_block_sizes(
         if head_dim <= row.max_head_dim:
             bq, bkv = row.block_q, row.block_kv
             break
-    return clamp_to_vmem(kernel_type, bq, bkv, head_dim, dtype)
+    bq, bkv = clamp_to_vmem(kernel_type, bq, bkv, head_dim, dtype)
+
+    # Autotune-on-miss: a head dim no table row was MEASURED at (the
+    # first-row-that-covers fallback, e.g. D=96 riding the D=128 row)
+    # or an unmeasured TPU generation triggers a bounded 4-candidate
+    # sweep at first dispatch; the winner persists in the config
+    # cache, so only the first call pays (reference:
+    # GEMMDescriptor+PipelineCache.swift:75-119).
+    novel = (head_dim not in {r.max_head_dim for r in rows}) or inherited
+    if seq_len is not None and novel and autotune_on_miss_enabled():
+        tuned = _sweep_attention_miss(kernel_type, head_dim, dtype,
+                                      seq_len, (bq, bkv))
+        if tuned is not None:
+            return clamp_to_vmem(kernel_type, tuned[0], tuned[1],
+                                 head_dim, dtype)
+    return bq, bkv
+
+
+def _sweep_attention_miss(kernel_type, head_dim, dtype, seq_len,
+                          base) -> Optional[tuple]:
+    """Bounded first-dispatch sweep: the table's choice plus its three
+    half-block neighbors (4 candidates, like the reference's
+    4-candidate registration autotune).  Returns the measured winner
+    (already persisted by `autotune_attention`), or None when the
+    sweep cannot run."""
+    key = (kernel_type, head_dim, jnp.dtype(dtype).name,
+           1 << (max(seq_len, 1) - 1).bit_length())
+    if key in _MISS_SWEEP_ACTIVE:
+        return None
+    _MISS_SWEEP_ACTIVE.add(key)
+    try:
+        from metal_flash_attention_tpu.runtime.autotune import (
+            autotune_attention,
+        )
+
+        causal = kernel_type.endswith("_causal")
+        base_kt = kernel_type[:-len("_causal")] if causal else kernel_type
+        # Candidates cannot exceed the (padded) sequence bound the
+        # sweep runs at, or `autotune_attention` skips them all.
+        seq_cap = min(key[3], 8192)
+        bq = max(min(base[0], seq_cap), 128)
+        bkv = max(min(base[1], seq_cap), 128)
+        cands = list(dict.fromkeys([
+            (bq, bkv),
+            (max(bq // 2, 128), bkv),
+            (bq, max(bkv // 2, 128)),
+            (max(bq // 2, 128), max(bkv // 2, 128)),
+        ]))
+        logger.info(
+            "autotune-on-miss: sweeping %s D=%d N-bucket=%d (%d "
+            "candidates; one-time, winner persists)",
+            kernel_type, head_dim, key[3], len(cands))
+        winner, _ = autotune_attention(
+            kernel_type=base_kt, n=min(key[3], 8192), head_dim=head_dim,
+            heads=4, dtype=dtype, causal=causal, candidates=cands,
+            iters=32, repeats=2)
+        return winner
+    except Exception as e:
+        logger.warning("autotune-on-miss sweep failed (%s: %s); using "
+                       "the table row", type(e).__name__, e)
+        return None
+    finally:
+        _MISS_SWEEP_ACTIVE.discard(key)
 
 
 # Generations whose inheritance of the v5e-measured "default" rows has

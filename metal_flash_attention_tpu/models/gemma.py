@@ -162,7 +162,13 @@ def attention_block(
             scale=cfg.attn_scale, logit_softcap=cfg.attn_logit_softcap)
 
     if mesh is None:
-        o = attn(q, k, v)
+        # Production path resolves through the descriptor facade
+        # (VERDICT r2 weak #8: one resolution point for block config).
+        from metal_flash_attention_tpu import dispatch
+        o = dispatch.attention(
+            q, k, v, causal=True, window_size=window,
+            scale=cfg.attn_scale,
+            logit_softcap=cfg.attn_logit_softcap)
     else:
         spec = P(DATA_AXIS, HEAD_AXIS, None, None)
         o = shard_map(attn, mesh=mesh, in_specs=(spec, spec, spec),

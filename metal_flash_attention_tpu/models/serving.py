@@ -1096,7 +1096,8 @@ def paged_chunk_step_q(params: dict, tokens: jax.Array,
             _q_layer_cache(cache, li), return_residuals=True)
         o_pre = o_pre.reshape(b, heads, kc, cfg.head_dim)
         lse_pre = lse_pre.reshape(b, heads, kc)
-        o_ch, lse_ch = flash_attention(
+        from metal_flash_attention_tpu import dispatch
+        o_ch, lse_ch = dispatch.attention(
             qd, k.astype(cfg.dtype), v.astype(cfg.dtype),
             causal=True, return_residuals=True)
         o = _merge_partials(o_pre.astype(jnp.float32), lse_pre,

@@ -41,14 +41,29 @@ def _loop_timed(fn: Callable, args, *, iters: int, repeats: int) -> float:
     @jax.jit
     def run(*a):
         def body(c, _):
-            s = fn(*((a[0] + c.astype(a[0].dtype)),) + a[1:])
+            # Fold the carry into the first argument's leaves (float
+            # leaves add the carry, integer/quantized leaves add its
+            # cast — 0-valued but traced, so nothing hoists out of
+            # the scan).
+            a0 = jax.tree.map(
+                lambda x: x + c.astype(x.dtype)
+                if isinstance(x, jax.Array) else x, a[0])
+            s = fn(*((a0,) + a[1:]))
             return s.astype(jnp.float32) * 0.0, ()
         c, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=iters)
         return c
 
-    for _ in range(2):
+    try:
         float(run(*args))
+    except Exception:
+        # One retry: the TPU tunnel's remote-compile helper throws
+        # transient HTTP 500s under concurrent compile load
+        # (CLAUDE.md); only the second failure is a real candidate
+        # failure.
+        time.sleep(2)
+        float(run(*args))
+    float(run(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -194,6 +209,72 @@ def autotune_gemm(
         def one(a, b, bm=bm, bn=bn, bk=bk):
             out = gemm(a, b, transpose_a=transpose_a,
                        transpose_b=transpose_b,
+                       block_m=bm, block_n=bn, block_k=bk)
+            return out[0, :1].astype(jnp.float32).sum()
+
+        try:
+            results[(bm, bn)] = _loop_timed(
+                one, (a, b), iters=iters, repeats=repeats)
+        except Exception as e:
+            if verbose:
+                print(f"  ({bm},{bn}) failed: {type(e).__name__}")
+            continue
+        if verbose:
+            print(f"  ({bm},{bn}): {results[(bm, bn)] * 1e3:.3f} ms")
+
+    assert results, "no autotune candidate compiled"
+    winner = min(results, key=results.get)
+    cache = cache or KernelConfigCache.get()
+    cache.insert(desc.cache_key(), winner)
+    return winner, results
+
+
+def autotune_gemm_descriptor(
+    desc,
+    candidates: Sequence[tuple[int, int]],
+    *,
+    iters: int = 32,
+    repeats: int = 2,
+    cache: Optional[KernelConfigCache] = None,
+    verbose: bool = False,
+) -> tuple[tuple[int, int], dict[tuple[int, int], float]]:
+    """Bounded dispatch-time sweep for one :class:`GEMMDescriptor`,
+    including quantized operand precisions (the registration-time
+    autotune of the reference, GEMMDescriptor+PipelineCache.swift:75-119,
+    reached from `GEMMDescriptor.kernel_config` on a cache miss).
+    Operands are synthesized to match the descriptor's memory
+    precisions so the measured kernel is the one that will dispatch."""
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.gemm import gemm
+    from metal_flash_attention_tpu.ops.quantization import quantize_matrix
+
+    rng = np.random.default_rng(0)
+
+    def operand(shape, precision, contract_axis):
+        x = rng.standard_normal(shape)
+        if precision in (OperandPrecision.INT8, OperandPrecision.NF4,
+                         OperandPrecision.FP8_E4M3,
+                         OperandPrecision.FP8_E5M2):
+            return quantize_matrix(
+                jnp.asarray(x, jnp.float32), precision,
+                contract_axis=contract_axis, per_channel=True)
+        return jnp.asarray(x, precision.storage_dtype)
+
+    m, n, k = desc.m, desc.n, desc.k
+    a = operand((k, m) if desc.transpose_a else (m, k),
+                desc.precision_a, 0 if desc.transpose_a else 1)
+    b = operand((n, k) if desc.transpose_b else (k, n),
+                desc.precision_b, 1 if desc.transpose_b else 0)
+
+    results: dict[tuple[int, int], float] = {}
+    for bm, bn in candidates:
+        bk = desc._pick_block_k(bm, bn)
+
+        def one(a, b, bm=bm, bn=bn, bk=bk):
+            out = gemm(a, b, transpose_a=desc.transpose_a,
+                       transpose_b=desc.transpose_b,
                        block_m=bm, block_n=bn, block_k=bk)
             return out[0, :1].astype(jnp.float32).sum()
 

@@ -2,10 +2,12 @@
 `testPerformance` suites living next to correctness,
 SquareAttentionTest.swift:741-757, LaplacianTest.swift:44-109).
 
-Real hardware only; thresholds are deliberately loose regression
-guards (~25-40% below measured steady state on v5e), not benchmarks —
-`bench.py` is the benchmark.  Timing goes through
-`utils/profiling.time_scalar_fn` (floor-amortized in-jit loops).
+Real hardware only.  Thresholds sit 10-15% under measured steady state
+on v5e (BENCH_r02 + r03 re-measurements; timings reproduce within
+~1pp with floor-amortized in-jit loops), so a real regression trips
+while run-to-run noise does not — VERDICT r2 next #7 (the old 25-40%
+slack let a 27pp regression pass).  `bench.py` is the benchmark;
+timing goes through `utils/profiling.time_scalar_fn`.
 """
 
 import os
@@ -29,10 +31,10 @@ def floor():
     return measure_dispatch_floor()
 
 
-def test_forward_utilization_guard(floor):
-    """bf16 fwd D=128 N=4096 has measured ~81% of roofline; guard at
-    60% (the two-half pipeline or block tables regressing would land
-    far below)."""
+def _attention_util(floor, *, n, d, heads, kv_heads=None, causal=False,
+                    with_bwd=False, iters=256):
+    """Utilization under the reference work model (fwd 2D+5, combined
+    9D+15 — reference README.md:41-46)."""
     from metal_flash_attention_tpu.ops.flash_attention import (
         flash_attention,
     )
@@ -40,26 +42,68 @@ def test_forward_utilization_guard(floor):
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
 
     rng = np.random.default_rng(0)
-    n, d, heads = 4096, 128, 8
+    kv_heads = kv_heads or heads
     q = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, kv_heads, n, d)),
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, kv_heads, n, d)),
+                    jnp.bfloat16)
+    if with_bwd:
+        do = jnp.asarray(rng.standard_normal((1, heads, n, d)),
+                         jnp.bfloat16)
 
-    def one(q, k, v):
-        return (flash_attention(q, k, v)[0, 0, :1, :1]
-                .astype(jnp.float32).sum())
+        def one(q, k, v):
+            def loss(q, k, v):
+                return jnp.sum(
+                    (flash_attention(q, k, v, causal=causal)
+                     * do).astype(jnp.float32))
+            g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return (g[0][0, 0, 0, :1].sum()
+                    + g[1][0, 0, 0, :1].sum()
+                    + g[2][0, 0, 0, :1].sum())
+    else:
+        def one(q, k, v):
+            o = flash_attention(q, k, v, causal=causal)
+            return o[0, 0, 0, :1].astype(jnp.float32).sum()
 
-    secs = time_scalar_fn(one, (q, k, v), iters=128,
-                          dispatch_floor=floor)
     ctx = DeviceContext.get()
-    ginstrs = (2 * d + 5) * n * n * heads / secs / 1e9
-    util = ginstrs / ctx.roofline_ginstrs_per_s
-    assert util > 0.60, f"fwd utilization regressed: {util:.1%}"
+    ginstrs = ctx.attention_ginstrs(
+        n, d, heads=heads, with_backward=with_bwd, causal=causal)
+    secs = time_scalar_fn(one, (q, k, v), iters=iters,
+                          dispatch_floor=floor)
+    return ginstrs / secs / 1e9 / ctx.roofline_ginstrs_per_s
+
+
+def test_forward_utilization_guard(floor):
+    """bf16 fwd D=128 N=4096: measured 87.3% (BENCH_r02); guard 75%."""
+    util = _attention_util(floor, n=4096, d=128, heads=8)
+    assert util > 0.75, f"fwd utilization regressed: {util:.1%}"
+
+
+def test_forward_backward_utilization_guard(floor):
+    """bf16 fwd+bwd D=128 N=4096: measured 92.8%; guard 80%."""
+    util = _attention_util(floor, n=4096, d=128, heads=8, with_bwd=True)
+    assert util > 0.80, f"fwd+bwd utilization regressed: {util:.1%}"
+
+
+def test_gqa_forward_backward_guard(floor):
+    """GQA 32q/8kv fwd+bwd D=128 N=4096: measured 91.8%; guard 80%."""
+    util = _attention_util(floor, n=4096, d=128, heads=32, kv_heads=8,
+                           with_bwd=True, iters=64)
+    assert util > 0.80, f"GQA fwd+bwd regressed: {util:.1%}"
+
+
+def test_causal_long_context_guard(floor):
+    """Causal D=128 N=16384 (dynamic-traversal kernel): measured
+    73.4%; guard 62%."""
+    util = _attention_util(floor, n=16384, d=128, heads=2, causal=True,
+                           iters=32)
+    assert util > 0.62, f"causal 16K regressed: {util:.1%}"
 
 
 def test_decode_throughput_guard(floor):
-    """bf16 decode (b=8, 8 KV heads, D=128, S=8192) measured ~22k
-    tok/s; guard at 15k."""
+    """bf16 decode (b=8, 8 KV heads, D=128, S=8192) measured ~24k
+    tok/s; guard at 20k."""
     from metal_flash_attention_tpu.ops.flash_decode import flash_decode
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
 
@@ -77,13 +121,13 @@ def test_decode_throughput_guard(floor):
     secs = time_scalar_fn(one, (q, k, v), iters=256,
                           dispatch_floor=floor)
     toks = batch / secs
-    assert toks > 15_000, f"decode throughput regressed: {toks:.0f} tok/s"
+    assert toks > 20_000, f"decode throughput regressed: {toks:.0f} tok/s"
 
 
 def test_quantized_decode_speedup_guard(floor):
     """INT8 KV decode must stay meaningfully faster than bf16 (the
     scale folding / wide blocks regressing would erase it).  Measured
-    ~2.0x; guard at 1.4x."""
+    2.04x (BENCH_r02); guard at 1.7x."""
     from metal_flash_attention_tpu.descriptors.precision import (
         OperandPrecision,
     )
@@ -109,11 +153,81 @@ def test_quantized_decode_speedup_guard(floor):
     t_int8 = timed(quantize(kf, OperandPrecision.INT8),
                    quantize(vf, OperandPrecision.INT8))
     speedup = t_bf16 / t_int8
-    assert speedup > 1.4, f"INT8 decode speedup regressed: {speedup:.2f}x"
+    assert speedup > 1.7, f"INT8 decode speedup regressed: {speedup:.2f}x"
+
+
+def test_paged_int8_throughput_guard(floor):
+    """Paged INT8 decode (vLLM layout, shuffled pages): measured
+    34k tok/s (BENCH_r02); guard at 25k."""
+    from metal_flash_attention_tpu.descriptors.precision import (
+        OperandPrecision,
+    )
+    from metal_flash_attention_tpu.ops.paged_attention import (
+        PagedKVCache,
+        paged_decode,
+        quantize_paged,
+    )
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s, page = 8, 32, 8, 128, 8192, 128
+    max_pages = s // page
+    num_pages = batch * max_pages
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((num_pages, kvh, page, d)),
+                     jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((num_pages, kvh, page, d)),
+                     jnp.bfloat16)
+    perm = np.random.default_rng(7).permutation(num_pages)
+    table = jnp.asarray(perm.reshape(batch, max_pages), jnp.int32)
+    cache = quantize_paged(
+        PagedKVCache(kp, vp, table, jnp.full((batch,), s, jnp.int32)),
+        OperandPrecision.INT8)
+
+    def one(q, cache):
+        o = paged_decode(q, cache)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    secs = time_scalar_fn(one, (q, cache), iters=256,
+                          dispatch_floor=floor)
+    toks = batch / secs
+    assert toks > 25_000, f"paged int8 regressed: {toks:.0f} tok/s"
+
+
+def test_engine_burst_guard(floor):
+    """Continuous-batching burst decode (k=16 in-jit steps/dispatch,
+    4L d2048 b=4): measured ~490 tok/s wall over the tunnel; guard at
+    320 (a broken burst falls to single-step ~130)."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama
+    from metal_flash_attention_tpu.models.engine import ServingEngine
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    batch = 4
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(1, cfg.vocab_size, (batch, 128))
+    eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
+                        max_seq=1024)
+    for i in range(batch):
+        eng.submit(prompts[i], 640)
+    for _ in range(batch + 2):
+        eng.step()
+    eng.step_burst(16)           # compile
+    t0 = time.perf_counter()
+    emitted = 0
+    for _ in range(16):
+        emitted += len(eng.step_burst(16))
+    dt = time.perf_counter() - t0
+    assert dt > 0 and emitted > 0
+    toks = emitted / dt
+    assert toks > 320, f"engine burst regressed: {toks:.0f} tok/s"
 
 
 def test_gemm_throughput_guard(floor):
-    """bf16 4096^3 GEMM measured ~97% of peak; guard at 70%."""
+    """bf16 4096^3 GEMM measured 98.5% of peak (BENCH_r02); guard 85%."""
     from metal_flash_attention_tpu.ops.gemm import gemm
     from metal_flash_attention_tpu.runtime.context import DeviceContext
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
@@ -129,7 +243,7 @@ def test_gemm_throughput_guard(floor):
     secs = time_scalar_fn(one, (a, b), iters=64, dispatch_floor=floor)
     flops = 2 * n ** 3 / secs
     frac = flops / DeviceContext.get().info.peak_bf16_flops
-    assert frac > 0.70, f"GEMM throughput regressed: {frac:.1%}"
+    assert frac > 0.85, f"GEMM throughput regressed: {frac:.1%}"
 
 
 def test_transposed_layout_cost(floor):

@@ -298,6 +298,100 @@ class TestTunedLookupIntegration:
         assert got == winner
 
 
+class TestAutotuneOnMiss:
+    """Registration-time autotune-on-miss (VERDICT r2 next #6; the
+    reference autotunes automatically when a preference is unknown,
+    GEMMDescriptor+PipelineCache.swift:75-119): a novel shape's first
+    dispatch sweeps bounded candidates and persists the winner; the
+    second dispatch hits the cache and never sweeps again."""
+
+    @pytest.fixture
+    def fresh_cache(self, tmp_path, monkeypatch):
+        cache = KernelConfigCache(str(tmp_path / "store.json"))
+        monkeypatch.setattr(KernelConfigCache, "_instance", cache)
+        return cache
+
+    @pytest.fixture
+    def fake_timer(self, monkeypatch):
+        """Replace device measurement with a deterministic ranking
+        (first candidate wins) so the mechanism is testable on CPU."""
+        from metal_flash_attention_tpu.runtime import autotune
+
+        calls = []
+
+        def fake(fn, args, *, iters, repeats):
+            calls.append(1)
+            return 0.001 * len(calls)
+
+        monkeypatch.setattr(autotune, "_loop_timed", fake)
+        return calls
+
+    def test_attention_novel_head_dim_sweeps_once(self, fresh_cache,
+                                                  fake_timer):
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        parameters.set_autotune_on_miss(True)
+        try:
+            got1 = parameters.select_block_sizes(
+                "forward", 96, jnp.bfloat16, seq_len=512)
+            n_first = len(fake_timer)
+            assert n_first >= 2, "miss should sweep several candidates"
+            got2 = parameters.select_block_sizes(
+                "forward", 96, jnp.bfloat16, seq_len=512)
+            assert len(fake_timer) == n_first, \
+                "second dispatch must hit the persisted winner"
+            assert got1 == got2
+        finally:
+            parameters.set_autotune_on_miss(None)
+
+    def test_attention_measured_head_dim_never_sweeps(self, fresh_cache,
+                                                      fake_timer):
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        parameters.set_autotune_on_miss(True)
+        try:
+            parameters.select_block_sizes(
+                "forward", 128, jnp.bfloat16, seq_len=4096,
+                generation=parameters.TUNED_GENERATION)
+            assert not fake_timer, "measured table row is not a miss"
+        finally:
+            parameters.set_autotune_on_miss(None)
+
+    def test_disabled_on_cpu_by_default(self, fresh_cache, fake_timer):
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        parameters.set_autotune_on_miss(None)
+        parameters.select_block_sizes(
+            "forward", 96, jnp.bfloat16, seq_len=512)
+        assert not fake_timer, \
+            "env default never sweeps on the CPU backend"
+
+    def test_gemm_miss_sweeps_once(self, fresh_cache, fake_timer):
+        from metal_flash_attention_tpu.descriptors import parameters
+        from metal_flash_attention_tpu.descriptors.gemm_descriptor import (
+            GEMMDescriptor,
+        )
+        from metal_flash_attention_tpu.descriptors.precision import (
+            OperandPrecision,
+        )
+
+        parameters.set_autotune_on_miss(True)
+        try:
+            desc = GEMMDescriptor(
+                m=384, n=384, k=384,
+                precision_a=OperandPrecision.BF16,
+                precision_b=OperandPrecision.BF16)
+            cfg1 = desc.kernel_config()
+            n_first = len(fake_timer)
+            assert n_first >= 2
+            cfg2 = desc.kernel_config()
+            assert len(fake_timer) == n_first
+            assert (cfg1.block_m, cfg1.block_n) == \
+                (cfg2.block_m, cfg2.block_n)
+        finally:
+            parameters.set_autotune_on_miss(None)
+
+
 class TestPageAllocator:
     """Native (C++) page allocator + Python fallback parity
     (src/page_allocator.cpp — the host-side memory management of the
