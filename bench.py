@@ -372,6 +372,36 @@ def bench_gemm_quantized(size, *, floor, precision, per_channel=True):
     return 2 * size**3 / secs  # FLOPS
 
 
+def bench_gemm_chain(size, *, floor, chain=8):
+    """Dependent-GEMM chain (the realistic small-GEMM shape:
+    back-to-back layers inside one jit).  Isolated 512^3 is
+    launch-bound — a ~2 us fixed per-program cost that XLA, a
+    zero-pipeline single Pallas program, and the blocked Pallas
+    kernel all pay identically (experiments/small_gemm_probe.py:
+    3.9 us each, vs 1.9 us of pure MXU time at this size's ~71%
+    DMA-overlap ceiling).  When the chain is compiler-visible the
+    measured rate reaches that ceiling, so per-dispatch overhead, not
+    kernel schedule, is the 512^3 story (VERDICT r2 next #5)."""
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
+
+    def one(a, b):
+        x = a
+        for _ in range(chain):
+            x = jax.lax.dot_general(
+                x, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT).astype(jnp.bfloat16)
+        return x[0, :1].astype(jnp.float32).sum()
+
+    iters = min(25_000, max(ITERS, int(4e13 / (2 * size**3 * chain))))
+    secs = time_scalar_fn(one, (a, b), iters=iters, dispatch_floor=floor)
+    return 2 * size**3 * chain / secs  # FLOPS
+
+
 def bench_train_step(*, floor):
     """End-to-end training MFU on one chip (parameter FLOPs only:
     6 * params * tokens; attention FLOPs excluded from the numerator)."""
@@ -564,6 +594,15 @@ def main():
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
         except Exception as e:
             print(f"# gemm {size}: FAIL {type(e).__name__}", file=err)
+
+    try:
+        fl = retry_once(bench_gemm_chain, 512, floor=floor)
+        print(f"# gemm bf16 512^3 x8-chain (dependent, one jit): "
+              f"{fl / 1e12:7.1f} TFLOPS "
+              f"({fl / ctx.info.peak_bf16_flops:5.1%}; isolated 512^3 "
+              f"is launch-bound, see bench_gemm_chain)", file=err)
+    except Exception as e:
+        print(f"# gemm chain: FAIL {type(e).__name__}", file=err)
 
     for name, prec in (("int8", OperandPrecision.INT8),
                        ("nf4", OperandPrecision.NF4)):

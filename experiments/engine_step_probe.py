@@ -1,17 +1,19 @@
-"""Where does the engine's decode step time go? (r02 chip probe)
+"""Where does the engine's decode step time go? (r03 chip probe)
 
-The r02 bench printed engine burst at ~460 tok/s wall (4L d2048 b=4,
-k=16), i.e. ~8.7 ms per in-jit step — far above what the shape's FLOPs
-justify. Decompose on hardware:
+BENCH_r02 showed the int8-KV engine step ~45 ms slower than bf16 while
+raw int8 decode is 2x faster than bf16 — the regression is in the
+serving path (VERDICT r2 weak #2).  Decompose on hardware:
 
-  raw-burst      jit(lax.scan(paged_decode_step, k)) — the model step
-                 alone, floor amortized over k
-  engine-burst   eng.step_burst(k) wall (adds sampling, logprob skip,
-                 stop scan, host bookkeeping)
-  raw-burst-q    quantized (INT8 pages) step scan
-  lm-head        the [b, d] x [d, vocab] logits GEMM alone
-  attn-only      paged_attention for the same pools/tables
-  mlp-only       one transformer layer without attention
+  raw-burst        jit(lax.scan(paged_decode_step, k)) — bf16 model
+                   step alone, floor amortized over k
+  raw-burst-q      quantized (INT8 pages + bf16 tail) step scan
+  raw-burst-q-nf   same but with the page flush stubbed out — isolates
+                   the per-step masked quantize+scatter cost
+  flush-only       jit(_flush_full_pages) alone
+  attn-q / attn-bf one layer's paged_decode partial on the quantized
+                   pool vs the bf16 pool (+ the tail flash_decode)
+  lm-head          the [b, d] x [d, vocab] logits GEMM alone
+  engine-burst     eng.step_burst(k) wall, bf16 vs INT8
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/engine_step_probe.py
 """
@@ -22,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from metal_flash_attention_tpu.descriptors.precision import OperandPrecision
 from metal_flash_attention_tpu.models import llama, serving
 from metal_flash_attention_tpu.models.engine import ServingEngine
 from metal_flash_attention_tpu.utils.profiling import (
@@ -53,7 +56,7 @@ def wall(fn, *args):
     return best
 
 
-# --- raw burst: scan of paged_decode_step ---------------------------
+# --- raw burst: scan of paged_decode_step (bf16) ---------------------
 cache = serving.init_paged_model_cache(cfg, batch, 1024)
 chunk = jax.jit(serving.paged_chunk_step, static_argnames=("cfg",))
 logits, cache = chunk(params, jnp.asarray(prompts, jnp.int32), cfg, cache)
@@ -72,64 +75,176 @@ def raw_burst(params, token, cache):
     return toks, cache
 
 
-toks, cache2 = raw_burst(params, token, cache)   # compile
+raw_burst(params, token, cache)   # compile
 t = wall(raw_burst, params, token, cache)
-print(f"raw-burst    k={K}: {t*1e3:7.2f} ms wall "
+print(f"raw-burst       k={K}: {t*1e3:7.2f} ms wall "
       f"({(t-floor)/K*1e3:6.2f} ms/step after floor)", flush=True)
 
-# --- engine burst ----------------------------------------------------
-eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
-                    max_seq=1024)
-for i in range(batch):
-    eng.submit(prompts[i], 900)
-for _ in range(batch + 2):
-    eng.step()
-eng.step_burst(K)                                # compile
-best = float("inf")
-for _ in range(ROUNDS):
-    t0 = time.perf_counter()
-    n = len(eng.step_burst(K))
-    best = min(best, time.perf_counter() - t0)
-print(f"engine-burst k={K}: {best*1e3:7.2f} ms wall "
-      f"({(best-floor)/K*1e3:6.2f} ms/step after floor, "
-      f"{n} toks/round)", flush=True)
+# --- raw burst over the QUANTIZED cache ------------------------------
+qcache = serving.init_quantized_paged_model_cache(
+    cfg, batch, 1024, precision=OperandPrecision.INT8)
+chunk_q = jax.jit(serving.paged_chunk_step_q, static_argnames=("cfg",))
+logits_q, qcache = chunk_q(params, jnp.asarray(prompts, jnp.int32),
+                           cfg, qcache)
+token_q = jnp.argmax(logits_q[:, -1], -1).astype(jnp.int32)
 
-# --- engine single-step (what bench_engine 'raw' loop competes with) -
-best = float("inf")
-for _ in range(8):
-    t0 = time.perf_counter()
-    eng.step()
-    best = min(best, time.perf_counter() - t0)
-print(f"engine-step      : {best*1e3:7.2f} ms wall/step", flush=True)
 
-# --- lm head / layer decomposition -----------------------------------
+@jax.jit
+def raw_burst_q(params, token, qc):
+    def body(carry, _):
+        tok, qc = carry
+        logits, qc = serving.paged_decode_step_q(params, tok, cfg, qc)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (tok, qc), tok
+    (tok, qc), toks = jax.lax.scan(
+        body, (token, qc), None, length=K)
+    return toks, qc
+
+
+raw_burst_q(params, token_q, qcache)
+t = wall(raw_burst_q, params, token_q, qcache)
+print(f"raw-burst-q     k={K}: {t*1e3:7.2f} ms wall "
+      f"({(t-floor)/K*1e3:6.2f} ms/step after floor)", flush=True)
+
+
+# --- same, flush stubbed out (tails still written) -------------------
+@jax.jit
+def raw_burst_q_noflush(params, token, qc):
+    real_flush = serving._flush_full_pages
+    try:
+        serving._flush_full_pages = lambda c, tk, tv, added: \
+            c._replace(tail_k=tuple(tk), tail_v=tuple(tv),
+                       tail_len=jnp.minimum(
+                           c.tail_len + added, c.page_size - 1))
+        def body(carry, _):
+            tok, qc = carry
+            logits, qc = serving.paged_decode_step_q(params, tok, cfg, qc)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (tok, qc), tok
+        (tok, qc), toks = jax.lax.scan(
+            body, (token, qc), None, length=K)
+    finally:
+        serving._flush_full_pages = real_flush
+    return toks, qc
+
+
+raw_burst_q_noflush(params, token_q, qcache)
+t = wall(raw_burst_q_noflush, params, token_q, qcache)
+print(f"raw-burst-q-nf  k={K}: {t*1e3:7.2f} ms wall "
+      f"({(t-floor)/K*1e3:6.2f} ms/step after floor)", flush=True)
+
+
+# --- flush alone ------------------------------------------------------
+@jax.jit
+def flush_only(qc):
+    out = serving._flush_full_pages(
+        qc, qc.tail_k, qc.tail_v,
+        jnp.ones((batch,), jnp.int32))
+    return out
+
+
+flush_only(qcache)
+t = wall(flush_only, qcache)
+print(f"flush-only x1     : {t*1e3:7.2f} ms wall "
+      f"({(t-floor)*1e3:6.2f} ms after floor)", flush=True)
+
+
+# --- per-layer attention partials ------------------------------------
+from metal_flash_attention_tpu.ops.paged_attention import paged_decode
+from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+
+qv2 = jnp.asarray(rng.standard_normal((batch, cfg.n_heads, cfg.head_dim)),
+                  jnp.bfloat16)
+
+
+@jax.jit
+def attn_q(qv2, qc):
+    def body(c, _):
+        o, lse = paged_decode(qv2 + c, serving._q_layer_cache(qc, 0),
+                              return_residuals=True)
+        return c * 0 + o[0, 0, 0] * 0, ()
+    c, _ = jax.lax.scan(body, jnp.zeros((), jnp.bfloat16), None, length=K)
+    return c
+
+
+@jax.jit
+def attn_bf(qv2, cache):
+    from metal_flash_attention_tpu.ops.paged_attention import PagedKVCache
+
+    def body(c, _):
+        o, lse = paged_decode(
+            qv2 + c,
+            PagedKVCache(cache.k[0], cache.v[0], cache.page_table,
+                         cache.lengths),
+            return_residuals=True)
+        return c * 0 + o[0, 0, 0] * 0, ()
+    c, _ = jax.lax.scan(body, jnp.zeros((), jnp.bfloat16), None, length=K)
+    return c
+
+
+@jax.jit
+def attn_tail(qv2, qc):
+    def body(c, _):
+        o, lse = flash_decode(qv2 + c, qc.tail_k[0], qc.tail_v[0],
+                              kv_lens=qc.tail_len + 1,
+                              return_residuals=True, block_kv=128)
+        return c * 0 + o[0, 0, 0] * 0, ()
+    c, _ = jax.lax.scan(body, jnp.zeros((), jnp.bfloat16), None, length=K)
+    return c
+
+
+cache_after = raw_burst(params, token, cache)[1]
+for name, fn, arg in (("attn-q   (pool)", attn_q, qcache),
+                      ("attn-bf  (pool)", attn_bf, cache_after),
+                      ("attn-tail      ", attn_tail, qcache)):
+    fn(qv2, arg)
+    t = wall(fn, qv2, arg)
+    print(f"{name} x{K}: {t*1e3:7.2f} ms wall "
+          f"({(t-floor)/K*1e3:6.2f} ms/call after floor)", flush=True)
+
+
+# --- lm head ----------------------------------------------------------
 x = jnp.asarray(rng.standard_normal((batch, cfg.dim)), jnp.bfloat16)
-w = params["output"] if "output" in params else None
-print("# params keys:", list(params.keys())[:8], flush=True)
+w_head = params["lm_head"]
 
 
-# --- quantized burst --------------------------------------------------
-engq = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
-                     max_seq=1024,
-                     kv_precision=__import__(
-                         "metal_flash_attention_tpu.descriptors.precision",
-                         fromlist=["OperandPrecision"],
-                     ).OperandPrecision.INT8)
-for i in range(batch):
-    engq.submit(prompts[i], 900)
-for _ in range(batch + 2):
-    engq.step()
-best = float("inf")
-for _ in range(8):
-    t0 = time.perf_counter()
-    engq.step()
-    best = min(best, time.perf_counter() - t0)
-print(f"engine-step INT8 : {best*1e3:7.2f} ms wall/step", flush=True)
-engq.step_burst(K)
-best = float("inf")
-for _ in range(8):
-    t0 = time.perf_counter()
-    engq.step_burst(K)
-    best = min(best, time.perf_counter() - t0)
-print(f"engine-burst INT8: {best*1e3:7.2f} ms wall "
-      f"({(best-floor)/K*1e3:6.2f} ms/step after floor)", flush=True)
+@jax.jit
+def lm_head(x, w):
+    def body(c, _):
+        lg = (x + c) @ w
+        return c * 0 + lg[0, 0].astype(jnp.bfloat16) * 0, ()
+    c, _ = jax.lax.scan(body, jnp.zeros((), jnp.bfloat16), None, length=K)
+    return c
+
+
+lm_head(x, w_head)
+t = wall(lm_head, x, w_head)
+print(f"lm-head     x{K}: {t*1e3:7.2f} ms wall "
+      f"({(t-floor)/K*1e3:6.2f} ms/call after floor)", flush=True)
+
+
+# --- engine bursts ----------------------------------------------------
+for prec, tag in ((None, "bf16"), (OperandPrecision.INT8, "INT8")):
+    eng = ServingEngine(params, cfg, max_batch=batch, num_pages=128,
+                        max_seq=1024, kv_precision=prec)
+    for i in range(batch):
+        eng.submit(prompts[i], 640)
+    for _ in range(batch + 2):
+        eng.step()
+    eng.step_burst(K)                                # compile
+    best = float("inf")
+    n = 0
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        n = len(eng.step_burst(K))
+        best = min(best, time.perf_counter() - t0)
+    print(f"engine-burst {tag} k={K}: {best*1e3:7.2f} ms wall "
+          f"({(best-floor)/K*1e3:6.2f} ms/step after floor, "
+          f"{n} toks/round)", flush=True)
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        eng.step()
+        best = min(best, time.perf_counter() - t0)
+    print(f"engine-step  {tag}     : {best*1e3:7.2f} ms wall/step",
+          flush=True)

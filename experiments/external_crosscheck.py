@@ -1,0 +1,121 @@
+"""External ceiling cross-check (VERDICT r2 next #4): bench the best
+publicly available TPU attention kernels — JAX's bundled Pallas
+`flash_attention` and `splash_attention` reference kernels, plus the
+XLA `jax.nn.dot_product_attention` — at the three documented "wall"
+shapes, same floor-amortized timing harness as bench.py, same
+reference work model ((2D+5)N^2 per head, halved for causal).
+
+This converts the self-measured plateaus (D=64 fwd 45%, causal D=128
+N=4096 58%, causal D=256 N=2048 59%) into externally anchored claims:
+either this repo >= the best competitor at each wall, or the gap is a
+kernel deficit to fix.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/external_crosscheck.py
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metal_flash_attention_tpu.ops.flash_attention import flash_attention
+from metal_flash_attention_tpu.runtime.context import DeviceContext
+from metal_flash_attention_tpu.utils.profiling import (
+    measure_dispatch_floor,
+    time_scalar_fn,
+)
+
+ctx = DeviceContext.get()
+ROOF = ctx.roofline_ginstrs_per_s
+floor = measure_dispatch_floor()
+print(f"# roofline {ROOF:.0f} GINSTRS/s, floor {floor*1e3:.1f} ms",
+      flush=True)
+
+
+def timed_util(fn, args, *, n, d, heads, causal, iters):
+    secs = time_scalar_fn(fn, args, iters=iters, dispatch_floor=floor)
+    gi = ctx.attention_ginstrs(n, d, heads=heads, causal=causal)
+    return gi / secs / 1e9, gi / secs / 1e9 / ROOF
+
+
+def ours(q, k, v, causal):
+    o = flash_attention(q, k, v, causal=causal)
+    return o[0, 0, 0, :1].astype(jnp.float32).sum()
+
+
+def jax_flash(q, k, v, causal, scale):
+    from jax.experimental.pallas.ops.tpu import flash_attention as jf
+    o = jf.flash_attention(q, k, v, causal=causal, sm_scale=scale)
+    return o[0, 0, 0, :1].astype(jnp.float32).sum()
+
+
+def make_splash(heads, n, d, causal):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+    if causal:
+        masks = [sm.CausalMask((n, n)) for _ in range(heads)]
+    else:
+        masks = [sm.FullMask((n, n)) for _ in range(heads)]
+    kernel = sk.make_splash_mha_single_device(
+        mask=sm.MultiHeadMask(masks))
+
+    def fn(q, k, v):
+        # Splash expects the caller to fold the softmax scale into Q
+        # and operates on [heads, n, d] (vmap over batch).
+        o = jax.vmap(kernel)(q * (1.0 / math.sqrt(d)), k, v)
+        return o[0, 0, 0, :1].astype(jnp.float32).sum()
+    return fn
+
+
+def xla_dpa(q, k, v, causal):
+    # jax.nn.dot_product_attention is BTNH-layout.
+    o = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), is_causal=causal)
+    return o[0, 0, 0, :1].astype(jnp.float32).sum()
+
+
+SHAPES = (
+    # (n, d, heads, causal, iters)  — the three walls + the flagship
+    (4096, 64, 8, False, 256),
+    (4096, 64, 8, True, 256),
+    (4096, 128, 8, True, 128),
+    (2048, 256, 8, True, 256),
+    (4096, 128, 8, False, 128),
+)
+
+for n, d, heads, causal, iters in SHAPES:
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
+    tag = f"D={d} N={n} {'causal' if causal else 'fwd   '}"
+    print(f"## {tag}", flush=True)
+    scale = 1.0 / math.sqrt(d)
+
+    rows = [("ours", functools.partial(ours, causal=causal), (q, k, v))]
+    rows.append(("jax-flash",
+                 functools.partial(jax_flash, causal=causal,
+                                   scale=scale), (q, k, v)))
+    try:
+        sfn = make_splash(heads, n, d, causal)
+        rows.append(("splash", sfn, (q[0], k[0], v[0])))
+    except Exception as e:
+        print(f"  splash      build FAIL {type(e).__name__}: {e}",
+              flush=True)
+    rows.append(("xla-dpa", functools.partial(xla_dpa, causal=causal),
+                 (q, k, v)))
+
+    for name, fn, args in rows:
+        try:
+            gi, util = timed_util(fn, args, n=n, d=d, heads=heads,
+                                  causal=causal, iters=iters)
+            print(f"  {name:11s} {gi:9.0f} GINSTRS/s  ({util:6.1%})",
+                  flush=True)
+        except Exception as e:
+            print(f"  {name:11s} FAIL {type(e).__name__}: {e}",
+                  flush=True)

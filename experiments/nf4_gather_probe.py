@@ -104,7 +104,42 @@ def kern_gather_nosum(p_ref, o_ref):
     ones = jnp.full((8, ROWS), 1.0, jnp.float32)
     s = jax.lax.dot_general(ones, a + b, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[...] = jnp.broadcast_to(s[:1, :1], (ROWS, 128))
+    o_ref[...] = jnp.zeros((ROWS, 128), jnp.float32) + s[0, 0]
+
+
+def kern_gather_pib(p_ref, o_ref):
+    """Gather with mode=promise_in_bounds: the default fill mode adds
+    an OOB mask+select per element; nibble indices are 0..15 < 16
+    table lanes by construction."""
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
+    table = jnp.broadcast_to(_codebook_row(lo.shape[-1])[:1], lo.shape)
+    vals = jnp.concatenate(
+        [jnp.take_along_axis(table, lo, axis=1,
+                             mode="promise_in_bounds"),
+         jnp.take_along_axis(table, hi, axis=1,
+                             mode="promise_in_bounds")], axis=-1)
+    o_ref[...] = jnp.sum(vals, axis=-1, keepdims=True) + jnp.zeros(
+        (ROWS, 128), jnp.float32)
+
+
+def kern_gather_bf16(p_ref, o_ref):
+    """Gather from a bf16 table (halves the gathered vreg traffic if
+    Mosaic supports 16-bit dynamic_gather)."""
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = p32 & 0x0F
+    hi = (p32 >> 4) & 0x0F
+    table = jnp.broadcast_to(
+        _codebook_row(lo.shape[-1])[:1].astype(jnp.bfloat16), lo.shape)
+    vals = jnp.concatenate(
+        [jnp.take_along_axis(table, lo, axis=1,
+                             mode="promise_in_bounds"),
+         jnp.take_along_axis(table, hi, axis=1,
+                             mode="promise_in_bounds")], axis=-1)
+    o_ref[...] = (jnp.sum(vals.astype(jnp.float32), axis=-1,
+                          keepdims=True)
+                  + jnp.zeros((ROWS, 128), jnp.float32))
 
 
 def run(kern, packed):
@@ -131,7 +166,8 @@ def main():
     n_el = ROWS * D * 2
     for name, kern in (("chain", kern_chain),
                        ("gather", kern_gather),
-                       ("gather_bc", kern_gather_bitcast),
+                       ("gather_pib", kern_gather_pib),
+                       ("gather_bf16", kern_gather_bf16),
                        ("gather_mxu", kern_gather_nosum),
                        ("bits_only", kern_bits_only)):
         f = functools.partial(run, kern)

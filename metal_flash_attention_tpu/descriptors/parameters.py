@@ -61,6 +61,11 @@ def autotune_on_miss_enabled() -> bool:
 # sizes, but a concurrent/typo'd path must never sweep recursively.
 _MISS_SWEEP_ACTIVE: set = set()
 
+# Head dims the checked-in tables were actually measured at on the
+# TUNED_GENERATION chip (the r02 per-D autotune sweeps).  Any other
+# head dim rides a nearest row and counts as a miss.
+MEASURED_HEAD_DIMS = (64, 128, 256)
+
 
 @dataclass(frozen=True)
 class ParameterRow:
@@ -200,13 +205,15 @@ def select_block_sizes(
             break
     bq, bkv = clamp_to_vmem(kernel_type, bq, bkv, head_dim, dtype)
 
-    # Autotune-on-miss: a head dim no table row was MEASURED at (the
-    # first-row-that-covers fallback, e.g. D=96 riding the D=128 row)
-    # or an unmeasured TPU generation triggers a bounded 4-candidate
-    # sweep at first dispatch; the winner persists in the config
-    # cache, so only the first call pays (reference:
+    # Autotune-on-miss: a head dim the tables were not MEASURED at
+    # (e.g. D=96 riding the D=128 row — the v5e sweeps ran at
+    # MEASURED_HEAD_DIMS; a table may still collapse to one row when
+    # one block wins everywhere, like causal's (1024, 1024)) or an
+    # unmeasured TPU generation triggers a bounded 4-candidate sweep
+    # at first dispatch; the winner persists in the config cache, so
+    # only the first call pays (reference:
     # GEMMDescriptor+PipelineCache.swift:75-119).
-    novel = (head_dim not in {r.max_head_dim for r in rows}) or inherited
+    novel = head_dim not in MEASURED_HEAD_DIMS or inherited
     if seq_len is not None and novel and autotune_on_miss_enabled():
         tuned = _sweep_attention_miss(kernel_type, head_dim, dtype,
                                       seq_len, (bq, bkv))

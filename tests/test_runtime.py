@@ -330,6 +330,7 @@ class TestAutotuneOnMiss:
                                                   fake_timer):
         from metal_flash_attention_tpu.descriptors import parameters
 
+        prev = parameters._AUTOTUNE_ON_MISS
         parameters.set_autotune_on_miss(True)
         try:
             got1 = parameters.select_block_sizes(
@@ -342,12 +343,13 @@ class TestAutotuneOnMiss:
                 "second dispatch must hit the persisted winner"
             assert got1 == got2
         finally:
-            parameters.set_autotune_on_miss(None)
+            parameters.set_autotune_on_miss(prev)
 
     def test_attention_measured_head_dim_never_sweeps(self, fresh_cache,
                                                       fake_timer):
         from metal_flash_attention_tpu.descriptors import parameters
 
+        prev = parameters._AUTOTUNE_ON_MISS
         parameters.set_autotune_on_miss(True)
         try:
             parameters.select_block_sizes(
@@ -355,7 +357,7 @@ class TestAutotuneOnMiss:
                 generation=parameters.TUNED_GENERATION)
             assert not fake_timer, "measured table row is not a miss"
         finally:
-            parameters.set_autotune_on_miss(None)
+            parameters.set_autotune_on_miss(prev)
 
     def test_disabled_on_cpu_by_default(self, fresh_cache, fake_timer):
         from metal_flash_attention_tpu.descriptors import parameters
@@ -375,6 +377,7 @@ class TestAutotuneOnMiss:
             OperandPrecision,
         )
 
+        prev = parameters._AUTOTUNE_ON_MISS
         parameters.set_autotune_on_miss(True)
         try:
             desc = GEMMDescriptor(
@@ -389,7 +392,7 @@ class TestAutotuneOnMiss:
             assert (cfg1.block_m, cfg1.block_n) == \
                 (cfg2.block_m, cfg2.block_n)
         finally:
-            parameters.set_autotune_on_miss(None)
+            parameters.set_autotune_on_miss(prev)
 
 
 class TestPageAllocator:
