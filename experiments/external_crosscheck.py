@@ -34,9 +34,13 @@ print(f"# roofline {ROOF:.0f} GINSTRS/s, floor {floor*1e3:.1f} ms",
       flush=True)
 
 
-def timed_util(fn, args, *, n, d, heads, causal, iters):
-    secs = time_scalar_fn(fn, args, iters=iters, dispatch_floor=floor)
+def timed_util(fn, args, *, n, d, heads, causal, iters=None):
     gi = ctx.attention_ginstrs(n, d, heads=heads, causal=causal)
+    # bench.py's amortization discipline: ~300 ms in-jit per timing
+    # run (128-iteration runs wobbled every kernel here by +/-10pp).
+    est = gi / (0.5 * ctx.roofline_ginstrs_per_s)
+    iters = int(np.clip(0.3 / max(est / 1e9, 1e-9), 128, 4096))
+    secs = time_scalar_fn(fn, args, iters=iters, dispatch_floor=floor)
     return gi / secs / 1e9, gi / secs / 1e9 / ROOF
 
 
@@ -45,9 +49,17 @@ def ours(q, k, v, causal):
     return o[0, 0, 0, :1].astype(jnp.float32).sum()
 
 
-def jax_flash(q, k, v, causal, scale):
+def jax_flash(q, k, v, causal, scale, blocks=None):
     from jax.experimental.pallas.ops.tpu import flash_attention as jf
-    o = jf.flash_attention(q, k, v, causal=causal, sm_scale=scale)
+    bs = None
+    if blocks is not None:
+        # The library's get_default is 128x128 ("TODO: select better
+        # parameters") — also measure it at a competitive tile size
+        # so the comparison is against its best configuration.
+        bs = jf.BlockSizes(block_q=blocks[0], block_k_major=blocks[1],
+                           block_k=blocks[1], block_b=1)
+    o = jf.flash_attention(q, k, v, causal=causal, sm_scale=scale,
+                           block_sizes=bs)
     return o[0, 0, 0, :1].astype(jnp.float32).sum()
 
 
@@ -65,9 +77,10 @@ def make_splash(heads, n, d, causal):
 
     def fn(q, k, v):
         # Splash expects the caller to fold the softmax scale into Q
-        # and operates on [heads, n, d] (vmap over batch).
-        o = jax.vmap(kernel)(q * (1.0 / math.sqrt(d)), k, v)
-        return o[0, 0, 0, :1].astype(jnp.float32).sum()
+        # and operates on [heads, n, d] (batch=1 here, so call it
+        # directly on the squeezed operands).
+        o = kernel(q * (1.0 / math.sqrt(d)), k, v)
+        return o[0, 0, :1].astype(jnp.float32).sum()
     return fn
 
 
@@ -101,6 +114,14 @@ for n, d, heads, causal, iters in SHAPES:
     rows.append(("jax-flash",
                  functools.partial(jax_flash, causal=causal,
                                    scale=scale), (q, k, v)))
+    rows.append(("jax-flash-512",
+                 functools.partial(jax_flash, causal=causal,
+                                   scale=scale, blocks=(512, 512)),
+                 (q, k, v)))
+    rows.append(("jax-flash-1k",
+                 functools.partial(jax_flash, causal=causal,
+                                   scale=scale, blocks=(1024, 1024)),
+                 (q, k, v)))
     try:
         sfn = make_splash(heads, n, d, causal)
         rows.append(("splash", sfn, (q[0], k[0], v[0])))

@@ -216,11 +216,12 @@ class ServingEngine:
         self._burst = jax.jit(
             serving.paged_decode_burst,
             static_argnames=("cfg", "n_steps", "want_logprobs",
-                             "step_fn"),
+                             "step_fn", "sampled"),
             donate_argnums=(3,))
         self._burst_q = jax.jit(
             serving.paged_decode_burst_q,
-            static_argnames=("cfg", "n_steps", "want_logprobs"),
+            static_argnames=("cfg", "n_steps", "want_logprobs",
+                             "sampled"),
             donate_argnums=(3,))
         self._chunk = jax.jit(chunk_step or serving.paged_chunk_step,
                               static_argnames=("cfg",),
@@ -463,6 +464,11 @@ class ServingEngine:
             top_p[i] = r.top_p
             stops[i, :len(r.stop)] = sorted(r.stop)
             want_lp = want_lp or r.want_logprobs
+        # STATIC greedy fast path: when no burst row samples, the
+        # per-step [batch, vocab] sort/softmax/cumsum compiles away
+        # (see serving._burst_choose).
+        want_sample = any(r is not None and r.temperature > 0.0
+                          for r in self._slots)
         common = dict(
             n_steps=int(k), active=jnp.asarray(active),
             remaining=jnp.asarray(remaining),
@@ -470,6 +476,7 @@ class ServingEngine:
             rids=jnp.asarray(rids), idx0=jnp.asarray(idx0),
             temp=jnp.asarray(temp), top_k=jnp.asarray(top_k),
             top_p=jnp.asarray(top_p), want_logprobs=want_lp,
+            sampled=want_sample,
             logit_bias=(self._bias_dev if self._bias_count
                         else None))
         if self._kv_precision is None:

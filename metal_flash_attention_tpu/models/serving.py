@@ -1324,15 +1324,25 @@ def _row_keys(base_key, rids, idxs):
 
 def _burst_choose(logits, tok, alive, rem, i, *, base_key, rids, idx0,
                   temp, top_k, top_p, stop_ids, logit_bias,
-                  want_logprobs):
+                  want_logprobs, sampled=True):
     """Shared tail of the burst scan bodies: bias, sample, (unbiased)
     logprob, emit/stop/budget bookkeeping.  Kept in ONE place — the
     'burst streams == single-step streams' contract relies on every
-    burst variant deriving keys and logprobs identically."""
+    burst variant deriving keys and logprobs identically.
+
+    ``sampled`` is STATIC: when the engine knows every burst row is
+    greedy (temperature 0) it passes False and the whole sampling
+    pipeline — a [batch, vocab] sort + softmax + cumsum per in-jit
+    step, ~3 ms/step at vocab 32000 — compiles away to one argmax.
+    The r03 engine-burst probe read 4.4 ms/step against the raw
+    scan's 0.9; this was nearly all of the difference."""
     b = logits.shape[0]
-    keys = _row_keys(base_key, rids, idx0 + i)
     biased = logits if logit_bias is None else logits + logit_bias
-    nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
+    if sampled:
+        keys = _row_keys(base_key, rids, idx0 + i)
+        nxt = sample_token_per_row(biased, keys, temp, top_k, top_p)
+    else:
+        nxt = jnp.argmax(biased, axis=-1).astype(jnp.int32)
     if want_logprobs:
         # logprobs report the model's UNBIASED distribution.
         l32 = logits.astype(jnp.float32)
@@ -1358,7 +1368,7 @@ def paged_decode_burst(params: dict, token: jax.Array,
                        top_k: jax.Array, top_p: jax.Array,
                        want_logprobs: bool = False, lora=None,
                        lora_ids=None, step_fn=None,
-                       logit_bias=None):
+                       logit_bias=None, sampled: bool = True):
     """Run ``n_steps`` paged decode steps inside ONE jit (lax.scan).
 
     The host-orchestrated engine pays one dispatch round-trip per
@@ -1406,7 +1416,7 @@ def paged_decode_burst(params: dict, token: jax.Array,
             logits, tok, alive, rem, i, base_key=base_key, rids=rids,
             idx0=idx0, temp=temp, top_k=top_k, top_p=top_p,
             stop_ids=stop_ids, logit_bias=logit_bias,
-            want_logprobs=want_logprobs)
+            want_logprobs=want_logprobs, sampled=sampled)
         return ((tok2, cache2, alive2, rem2), (out_tok, emit, lp))
 
     (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(
@@ -1424,7 +1434,7 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
                          idx0: jax.Array, temp: jax.Array,
                          top_k: jax.Array, top_p: jax.Array,
                          want_logprobs: bool = False,
-                         logit_bias=None):
+                         logit_bias=None, sampled: bool = True):
     """Burst decode over the quantized paged cache: the scan body
     passes the live-row mask straight into
     :func:`paged_decode_step_q` (which already freezes masked rows —
@@ -1441,7 +1451,7 @@ def paged_decode_burst_q(params: dict, token: jax.Array,
             logits, tok, alive, rem, i, base_key=base_key, rids=rids,
             idx0=idx0, temp=temp, top_k=top_k, top_p=top_p,
             stop_ids=stop_ids, logit_bias=logit_bias,
-            want_logprobs=want_logprobs)
+            want_logprobs=want_logprobs, sampled=sampled)
         return ((tok2, cache2, alive2, rem2), (out_tok, emit, lp))
 
     (tok, cache, alive, _), (toks, valid, lps) = jax.lax.scan(

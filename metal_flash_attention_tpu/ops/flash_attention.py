@@ -62,6 +62,20 @@ the remaining gap is per-step guard/overlap cost that every design
 pays one way or another; don't re-explore without a Mosaic-level
 change (e.g. predicated DMA-free guard elision).
 
+r03 external cross-check update (experiments/external_crosscheck.py,
+same harness, same day): a TUNED jax.experimental Pallas
+flash_attention leads this kernel at mid-N causal by 5-10% (53.9 vs
+50.8 @ D=128 N=4096; 47.8 vs 43.1 @ D=256 N=2048) and loses
+everywhere else (fwd: 66.5 vs 79.3).  Root cause localized: its lean
+block body stays efficient at (512,512) where diagonal-block waste is
+halved, while this kernel at (512,512) collapses to 29% (~2x
+per-block fixed cost) and must run (1024,1024).  A fourth redesign
+should target per-block cost at small blocks, not skip handling —
+skipped-step DMA re-pointing *forward* (prefetching the next strip's
+first visible block, jax-flash's trick) measured NEUTRAL here
+(50.1/42.3 vs 50.8/43.1 pre-change, within session noise) and is
+kept only because it costs nothing.
+
 Per-D causal walls (measured v5e 2026-08, full autotune sweeps in the
 persistent cache; 7 block candidates each, winner (1024, 1024) at
 every D):
@@ -1024,18 +1038,30 @@ def flash_attention_forward(
         return o, lse[:, :, 0, :q_len]
 
     def kv_index(b, h, i, j, g=group):
-        # Clamp skipped blocks onto the visible range so block-level
-        # skipping costs no HBM traffic (the fetched block is reused).
+        # Skipped blocks re-point FORWARD: steps before the visible
+        # range fetch the strip's first visible block, steps after it
+        # fetch the NEXT strip's first visible block — every skipped
+        # step's DMA slot prefetches the next block the pipeline will
+        # genuinely need (consecutive identical indices elide the
+        # copy), so strip starts never stall on their first KV fetch.
+        # (Re-pointing BACKWARD at an already-fetched block, the r02
+        # design, made skips bandwidth-free but left the next strip's
+        # first block cold — jax's flash kernel plays this same
+        # forward trick with block 0.)
         jj = j
-        if causal:
-            jj = jnp.minimum(jj, _last_visible_block(
-                i, block_q=block_q, block_kv=block_kv, causal=True,
-                offset=offset, num_kv_blocks=num_kv_blocks))
-        if window_size is not None:
-            jj = jnp.maximum(jj, _first_visible_block(
+        if causal or window_size is not None:
+            last = _last_visible_block(
+                i, block_q=block_q, block_kv=block_kv, causal=causal,
+                offset=offset, num_kv_blocks=num_kv_blocks)
+            first = _first_visible_block(
                 i, block_q=block_q, block_kv=block_kv,
                 window_size=window_size, offset=offset,
-                num_kv_blocks=num_kv_blocks))
+                num_kv_blocks=num_kv_blocks)
+            next_first = _first_visible_block(
+                i + 1, block_q=block_q, block_kv=block_kv,
+                window_size=window_size, offset=offset,
+                num_kv_blocks=num_kv_blocks)
+            jj = jnp.where(j > last, next_first, jnp.maximum(jj, first))
         return (b, h // g, jj, 0)
 
     in_specs = [

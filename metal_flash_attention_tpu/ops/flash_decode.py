@@ -282,11 +282,32 @@ def flash_decode(
             # head_dim / 2): head dims whose half is sublane-aligned
             # below 128 lanes, or 128-multiples.  Otherwise the padded
             # layout needs the prefill kernel's Q-lane shuffle — route
-            # through it.  Measured v5e (b=8, 32 q-heads, D=128,
-            # S=8192): ~5k tok/s vs bf16's ~22k — the 16-way codebook
-            # lookup is ~48 VPU ops/element, so NF4 decode is
-            # VPU-bound; it is a *capacity* tier (4x the context in
-            # the same HBM), not a latency tier.
+            # through it.
+            #
+            # CERTIFIED CEILING (v5e, r03 probes): NF4 decode is
+            # VPU-dequant-bound, not HBM-bound, so it is a *capacity*
+            # tier (4x context per byte), not a latency tier.
+            # Measured chain of evidence
+            # (experiments/nf4_gather_probe.py, amortized >= 300 ms
+            # in-jit):
+            #   - lane-gather dequant (the fastest of five designs:
+            #     indicator chain 101 Gelem/s, select trees, one-hot
+            #     MXU — all slower) runs at ~150 Gelem/s on full
+            #     128-lane payloads, ~86 on this kernel's 64-lane
+            #     (head_dim/2) payload;
+            #   - this shape (b=8, 8 KV heads, D=128, S=8192) must
+            #     dequantize 134M elements/step -> >= 0.9 ms of VPU
+            #     time even at the full-lane rate -> ~9-10k tok/s
+            #     ceiling vs bf16's ~24k (whose 268 MB/step rides
+            #     HBM at ~0.33 ms).  Measured: 6.2k direct (64-lane),
+            #     6.8k paged (full-lane, smaller per-program blocks).
+            #   - a 4-bit LINEAR code would not help: int4's
+            #     (idx-8)*scale still pays the unpack+widen+cast ops
+            #     (>= half the dequant cost), so every 4-bit tier on
+            #     this VPU:HBM ratio decodes slower than bf16.
+            # The reference wins this trade on M-series because its
+            # per-ALU in-register LUT is cheap relative to its
+            # bandwidth; v5e's VPU:HBM ratio inverts it.
             hd = q.shape[-1]
             nf4_direct = (hd % 16 == 0
                           and (hd <= MIN_LANES or hd % MIN_LANES == 0))
