@@ -260,7 +260,7 @@ def _sweep_attention_miss(kernel_type, head_dim, dtype, seq_len,
         winner, _ = autotune_attention(
             kernel_type=base_kt, n=min(key[3], 8192), head_dim=head_dim,
             heads=4, dtype=dtype, causal=causal, candidates=cands,
-            iters=32, repeats=2)
+            iters=128, repeats=2)
         return winner
     except Exception as e:
         logger.warning("autotune-on-miss sweep failed (%s: %s); using "

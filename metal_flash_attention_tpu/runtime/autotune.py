@@ -81,7 +81,10 @@ def autotune_attention(
     dtype=jnp.bfloat16,
     causal: bool = False,
     candidates: Sequence[tuple[int, int]] = DEFAULT_CANDIDATES,
-    iters: int = 16,
+    # In-jit time must dwarf the ~25 ms dispatch floor or candidate
+    # ranking is floor-jitter (sweeps are compile-bound anyway, so
+    # large iters are nearly free).
+    iters: int = 256,
     repeats: int = 3,
     cache: Optional[KernelConfigCache] = None,
     verbose: bool = False,
@@ -175,7 +178,7 @@ def autotune_gemm(
     transpose_a: bool = False,
     transpose_b: bool = False,
     candidates: Sequence[tuple[int, int]] = GEMM_CANDIDATES,
-    iters: int = 32,
+    iters: int = 512,
     repeats: int = 3,
     cache: Optional[KernelConfigCache] = None,
     verbose: bool = False,
@@ -233,7 +236,7 @@ def autotune_gemm_descriptor(
     desc,
     candidates: Sequence[tuple[int, int]],
     *,
-    iters: int = 32,
+    iters: int = 256,
     repeats: int = 2,
     cache: Optional[KernelConfigCache] = None,
     verbose: bool = False,
@@ -312,7 +315,7 @@ def autotune_decode(
     q_heads: int = 32,
     precision=None,
     candidates: Sequence[int] = DECODE_CANDIDATES,
-    iters: int = 64,
+    iters: int = 256,
     repeats: int = 3,
     cache: Optional[KernelConfigCache] = None,
     verbose: bool = False,
@@ -376,7 +379,7 @@ def autotune_paged(
     page_size: int = 128,
     precision=None,
     candidates: Sequence[int] = PAGED_CANDIDATES,
-    iters: int = 64,
+    iters: int = 256,
     repeats: int = 3,
     cache: Optional[KernelConfigCache] = None,
     verbose: bool = False,
