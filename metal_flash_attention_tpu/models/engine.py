@@ -512,9 +512,12 @@ class ServingEngine:
             self._vs = list(cache.v_scales)
             self._tail_k = list(cache.tail_k)
             self._tail_v = list(cache.tail_v)
-        toks = np.asarray(toks)
-        valid = np.asarray(valid)
-        lps = np.asarray(lps)
+        # ONE device->host transfer for all three outputs:
+        # `jax.device_get` starts every copy async before blocking,
+        # where three sequential np.asarray calls pay three ~25 ms
+        # tunnel round-trips per burst (~4.7 ms/step at k=16 — this,
+        # not the sampler, was the engine-vs-raw burst gap).
+        toks, valid, lps = jax.device_get((toks, valid, lps))
         if self._kv_precision is None:
             # Host-mirror the in-jit length advances (one per emitted
             # token per row) instead of reading lengths back — the

@@ -75,9 +75,12 @@ def _attention_util(floor, *, n, d, heads, kv_heads=None, causal=False,
 
 
 def test_forward_utilization_guard(floor):
-    """bf16 fwd D=128 N=4096: measured 87.3% (BENCH_r02); guard 75%."""
+    """bf16 fwd D=128 N=4096: measured 87.3% (r02 session) / 77.9%
+    (r03 session — identical config; sessions land on different
+    tunnel/host instances and drift ~10%).  Guard 10% under the
+    slowest observed steady session."""
     util = _attention_util(floor, n=4096, d=128, heads=8)
-    assert util > 0.75, f"fwd utilization regressed: {util:.1%}"
+    assert util > 0.70, f"fwd utilization regressed: {util:.1%}"
 
 
 def test_forward_backward_utilization_guard(floor):
@@ -95,15 +98,17 @@ def test_gqa_forward_backward_guard(floor):
 
 def test_causal_long_context_guard(floor):
     """Causal D=128 N=16384 (dynamic-traversal kernel): measured
-    73.4%; guard 62%."""
+    73.4% (r02) / 68.4% (r03 session); guard 10% under the slower
+    session."""
     util = _attention_util(floor, n=16384, d=128, heads=2, causal=True,
                            iters=32)
-    assert util > 0.62, f"causal 16K regressed: {util:.1%}"
+    assert util > 0.60, f"causal 16K regressed: {util:.1%}"
 
 
 def test_decode_throughput_guard(floor):
-    """bf16 decode (b=8, 8 KV heads, D=128, S=8192) measured ~24k
-    tok/s; guard at 20k."""
+    """bf16 decode (b=8, 8 KV heads, D=128, S=8192): 24.1k tok/s in
+    the r02 session, 22.0k in r03 (cross-session drift); guard 10%
+    under the slower session."""
     from metal_flash_attention_tpu.ops.flash_decode import flash_decode
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
 
@@ -121,7 +126,7 @@ def test_decode_throughput_guard(floor):
     secs = time_scalar_fn(one, (q, k, v), iters=256,
                           dispatch_floor=floor)
     toks = batch / secs
-    assert toks > 20_000, f"decode throughput regressed: {toks:.0f} tok/s"
+    assert toks > 19_000, f"decode throughput regressed: {toks:.0f} tok/s"
 
 
 def test_quantized_decode_speedup_guard(floor):
@@ -196,8 +201,10 @@ def test_paged_int8_throughput_guard(floor):
 
 def test_engine_burst_guard(floor):
     """Continuous-batching burst decode (k=16 in-jit steps/dispatch,
-    4L d2048 b=4): measured ~490 tok/s wall over the tunnel; guard at
-    320 (a broken burst falls to single-step ~130)."""
+    4L d2048 b=4): measured ~1270 tok/s avg wall over the tunnel (r03,
+    after the one-transfer readback + greedy fast path); guard at 800
+    (a broken burst falls to single-step ~130; regressing to the
+    three-readback pattern falls to ~700)."""
     import time
 
     from metal_flash_attention_tpu.models import llama
@@ -223,7 +230,7 @@ def test_engine_burst_guard(floor):
     dt = time.perf_counter() - t0
     assert dt > 0 and emitted > 0
     toks = emitted / dt
-    assert toks > 320, f"engine burst regressed: {toks:.0f} tok/s"
+    assert toks > 800, f"engine burst regressed: {toks:.0f} tok/s"
 
 
 def test_gemm_throughput_guard(floor):
