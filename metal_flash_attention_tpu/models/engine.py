@@ -874,10 +874,11 @@ class ServingEngine:
             jnp.asarray(drafts, jnp.int32), jnp.asarray(live))
         self._k = list(cache.k)
         self._v = list(cache.v)
-        self._lengths = np.asarray(cache.lengths).copy()
-        em = np.asarray(em)
-        n_em = np.asarray(n_em)
-        next_last = np.asarray(next_last)
+        # One overlapped device->host transfer (four sequential
+        # readbacks would pay four ~25 ms tunnel round-trips/round).
+        em, n_em, next_last, lengths = jax.device_get(
+            (em, n_em, next_last, cache.lengths))
+        self._lengths = np.asarray(lengths).copy()
         for i, r in enumerate(self._slots):
             if r is None or not live[i]:
                 continue
