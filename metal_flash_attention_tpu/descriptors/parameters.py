@@ -185,7 +185,12 @@ def select_block_sizes(
         )
         tuned = lookup_tuned_blocks(kernel_type, head_dim, dtype, seq_len)
         if tuned is not None:
-            return tuned
+            # Clamp tuned winners too: a persistent cache written by a
+            # buggy/older sweep (or on a bigger-VMEM device) must never
+            # dispatch an un-compilable config (r03: a dQ-only-measured
+            # (1024, 2048) OOM'd the sibling dKV kernel at 18.4M).
+            return clamp_to_vmem(kernel_type, tuned[0], tuned[1],
+                                 head_dim, dtype)
     regime = "fp32" if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else "mixed"
     gens = _TABLES[kernel_type][regime]
     gen = generation or tpu_generation()

@@ -164,6 +164,13 @@ PIPELINE_HALF = 1024
 # Benchmark/test override for the dynamic-traversal kernel choice:
 # None = measured gate, True = dynamic whenever eligible, False = grid.
 _FORCE_DYNAMIC: Optional[bool] = None
+# Body-variant override for the grid kernel's skip-guarded blocks:
+# None = structural policy (see dispatch), True = single always-masked
+# body, False = dual interior/masked bodies.  The dual form saves the
+# interior blocks' mask compares (~2-4 VPU ops per score tile); the
+# single form instantiates HALF the program code under the guard,
+# which matters when per-block fixed cost dominates (small blocks).
+_SINGLE_BODY: Optional[bool] = None
 
 
 def _block_visible(
@@ -234,6 +241,7 @@ def _make_fwd_kernel(
     kv_precision=None,
     group: int = 1,
     logit_softcap=None,
+    single_body: bool = False,
 ):
     scale_log2e = scale * LOG2E
     # Softcap operates on natural-unit logits; in the base-2 domain the
@@ -442,28 +450,35 @@ def _make_fwd_kernel(
                 i, j, block_q=block_q, block_kv=block_kv, causal=causal,
                 window_size=window_size, offset=offset, kv_len=kv_len,
             )
-            # Interior = every element of the block is visible under
-            # the structural masks, so the fast (compare-free) body
-            # applies; diagonal-crossing / padded blocks take the
-            # masked body.
-            interior = jnp.bool_(True)
-            if causal:
-                interior = jnp.logical_and(
-                    interior,
-                    (j + 1) * block_kv - 1 <= i * block_q + offset)
-            if window_size is not None:
-                interior = jnp.logical_and(
-                    interior,
-                    j * block_kv > ((i + 1) * block_q - 1 + offset
-                                    - window_size))
-            if kv_pad:
-                interior = jnp.logical_and(
-                    interior, (j + 1) * block_kv <= kv_len)
-            pl.when(jnp.logical_and(should_run, interior))(
-                lambda: body(False))
-            pl.when(jnp.logical_and(should_run,
-                                    jnp.logical_not(interior)))(
-                lambda: body(True))
+            if single_body:
+                # Lean form: one always-masked body.  Interior blocks
+                # pay the mask compares, but the guarded region holds
+                # half the code — the structural masks are all-visible
+                # on interior blocks, so the result is identical.
+                pl.when(should_run)(lambda: body(True))
+            else:
+                # Interior = every element of the block is visible
+                # under the structural masks, so the fast
+                # (compare-free) body applies; diagonal-crossing /
+                # padded blocks take the masked body.
+                interior = jnp.bool_(True)
+                if causal:
+                    interior = jnp.logical_and(
+                        interior,
+                        (j + 1) * block_kv - 1 <= i * block_q + offset)
+                if window_size is not None:
+                    interior = jnp.logical_and(
+                        interior,
+                        j * block_kv > ((i + 1) * block_q - 1 + offset
+                                        - window_size))
+                if kv_pad:
+                    interior = jnp.logical_and(
+                        interior, (j + 1) * block_kv <= kv_len)
+                pl.when(jnp.logical_and(should_run, interior))(
+                    lambda: body(False))
+                pl.when(jnp.logical_and(should_run,
+                                        jnp.logical_not(interior)))(
+                    lambda: body(True))
         else:
             body()
 
@@ -1135,6 +1150,7 @@ def flash_attention_forward(
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                  else jax.lax.Precision.DEFAULT)
+    single_body = _SINGLE_BODY if _SINGLE_BODY is not None else False
     kernel = _make_fwd_kernel(
         block_q=block_q, block_kv=block_kv, num_halves=num_halves,
         num_kv_blocks=num_kv_blocks,
@@ -1143,7 +1159,7 @@ def flash_attention_forward(
         has_bias=has_bias, has_segments=has_segments,
         kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, single_body=single_body,
     )
 
     o, lse = pl.pallas_call(

@@ -420,7 +420,10 @@ def flash_attention_backward(
             tuned = lookup_tuned_blocks("backward_query_causal",
                                         head_dim, q.dtype, q_len)
             if tuned is not None:
-                tq, tkv = tuned
+                from metal_flash_attention_tpu.descriptors.parameters \
+                    import clamp_to_vmem
+                tq, tkv = clamp_to_vmem("backward_query", tuned[0],
+                                        tuned[1], head_dim, q.dtype)
         if tq is None:
             tq, tkv = select_block_sizes("backward_query", head_dim,
                                          q.dtype, seq_len=q_len)

@@ -105,11 +105,17 @@ def autotune_attention(
     k = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)), dtype)
     v = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)), dtype)
     if kernel_type != "forward":
-        # Isolate the backward kernel under tune: precompute the
-        # forward residuals once and time `flash_attention_backward`
-        # directly, consuming only the kernel's own outputs — XLA
-        # DCEs the sibling backward pallas_call (and the forward),
-        # so the ranking is not diluted by the other two kernels.
+        # Precompute the forward residuals once and time
+        # `flash_attention_backward` directly (the forward DCEs out).
+        # BOTH backward kernels' outputs must be consumed: the
+        # dispatch shares one (block_q, block_kv) pair across the dQ
+        # and dKV kernels, so a winner measured with the sibling
+        # pallas_call DCE'd can be un-runnable at real dispatch — the
+        # r03 chip session recorded (1024, 2048) from a dQ-only sweep
+        # and the dKV kernel then OOM'd scoped VMEM (18.4M > 16M) in
+        # every fwd+bwd bench row.  The two table names now rank the
+        # same total-backward cost; they are kept for parity with the
+        # reference's per-kernel tables.
         do = jnp.asarray(rng.standard_normal((1, heads, n, head_dim)),
                          dtype)
         o0, lse0 = flash_attention_forward(q, k, v, causal=causal)
@@ -118,24 +124,36 @@ def autotune_attention(
     for bq, bkv in candidates:
         if bq > round_up(n, 128) or bkv > round_up(n, 128):
             continue
+        if kernel_type != "forward":
+            # Pre-filter candidates whose estimated footprint exceeds
+            # the device budget: an OOM candidate costs two compile
+            # round-trips (the HTTP-500 retry fires first) before the
+            # except skips it.
+            from metal_flash_attention_tpu.descriptors.parameters import (
+                vmem_bytes,
+            )
+            from metal_flash_attention_tpu.runtime.context import (
+                DeviceContext,
+            )
+            d_pad = -(-head_dim // 128) * 128 if head_dim > 128 \
+                else head_dim
+            if vmem_bytes(bq, bkv, d_pad, jnp.dtype(dtype).itemsize,
+                          backward=True) \
+                    > DeviceContext.get().info.vmem_bytes:
+                continue
 
         if kernel_type == "forward":
             def one(q, k, v, bq=bq, bkv=bkv):
                 o = flash_attention(
                     q, k, v, causal=causal, block_q=bq, block_kv=bkv)
                 return o[0, 0, 0, :1].astype(jnp.float32).sum()
-        elif kernel_type == "backward_query":
+        else:  # backward_query / backward_key_value
             def one(q, k, v, bq=bq, bkv=bkv):
                 dq, dk, dv = flash_attention_backward(
                     q, k, v, do, o0, lse0, causal=causal,
                     block_q=bq, block_kv=bkv)
-                return dq[0, 0, 0, :1].astype(jnp.float32).sum()
-        else:  # backward_key_value
-            def one(q, k, v, bq=bq, bkv=bkv):
-                dq, dk, dv = flash_attention_backward(
-                    q, k, v, do, o0, lse0, causal=causal,
-                    block_q=bq, block_kv=bkv)
-                return (dk[0, 0, 0, :1].astype(jnp.float32).sum()
+                return (dq[0, 0, 0, :1].astype(jnp.float32).sum()
+                        + dk[0, 0, 0, :1].astype(jnp.float32).sum()
                         + dv[0, 0, 0, :1].astype(jnp.float32).sum())
 
         try:

@@ -42,6 +42,32 @@ class TestDeviceContext:
 
 
 class TestKernelConfigCache:
+    def test_tuned_winner_is_vmem_clamped(self, tmp_path):
+        """A tuned-cache winner must be re-validated against THIS
+        device's VMEM budget at lookup: the r03 chip session recorded
+        a backward (1024, 2048) winner from a dQ-only sweep (the dKV
+        sibling was DCE'd) and every fwd+bwd dispatch then OOM'd
+        scoped VMEM.  A poisoned or foreign cache entry must come back
+        shrunk, not verbatim."""
+        from metal_flash_attention_tpu.descriptors.parameters import (
+            select_block_sizes, vmem_bytes,
+        )
+
+        poisoned = KernelConfigCache(str(tmp_path / "poisoned.json"))
+        key = poisoned.attention_key(
+            "backward_query", 128, jnp.bfloat16, q_len_bucket=4096)
+        poisoned.insert(key, (1024, 2048))
+        old = KernelConfigCache._instance
+        KernelConfigCache._instance = poisoned
+        try:
+            bq, bkv = select_block_sizes(
+                "backward_query", 128, jnp.bfloat16, seq_len=4096)
+        finally:
+            KernelConfigCache._instance = old
+        budget = DeviceContext.get().info.vmem_bytes
+        assert vmem_bytes(bq, bkv, 128, 2, backward=True) <= budget
+        assert (bq, bkv) != (1024, 2048)
+
     def test_insert_lookup_roundtrip(self, tmp_path):
         cache = KernelConfigCache(str(tmp_path / "store.json"))
         key = cache.attention_key("forward", 128, jnp.bfloat16,
