@@ -330,16 +330,144 @@ def bench_prefix_cache(*, floor):
     return cold, warm
 
 
-def bench_gemm(size, *, floor):
+def bench_speculative(*, floor, draft_len=4):
+    """Speculative decode wall-clock vs the plain greedy paged loop
+    (VERDICT r3 next #7: serving features need perf rows, not just
+    correctness tests).  The drafter is the TARGET model itself
+    (`make_model_draft_fn`), so acceptance is ~100% and the row
+    measures the MACHINERY: chunked verify + ragged cache consume +
+    drafter sync — a regression anywhere in the round shows up here.
+    Reported RAW WALL-CLOCK (same rationale as the engine rows)."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama, serving
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    batch, prompt_len, new = 4, 128, 64
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        rng.integers(1, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
+
+    def run_spec():
+        draft_fn = serving.make_model_draft_fn(
+            params, cfg, prompt=prompt, draft_len=draft_len,
+            max_new_tokens=new)
+        t0 = time.perf_counter()
+        out = serving.speculative_generate(
+            params, prompt, cfg, draft_fn=draft_fn,
+            draft_len=draft_len, max_new_tokens=new)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    def run_plain():
+        t0 = time.perf_counter()
+        out = serving.paged_generate(params, prompt, cfg,
+                                     max_new_tokens=new)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    run_spec(); run_plain()                      # compile
+    spec = min(run_spec(), run_spec())
+    plain = min(run_plain(), run_plain())
+    if spec <= 0 or plain <= 0:
+        raise RuntimeError(
+            f"invalid speculative measurement: spec={spec} plain={plain}")
+    return batch * new / spec, batch * new / plain
+
+
+def bench_beam(*, floor, num_beams=4):
+    """Beam-search decode wall-clock vs plain greedy decode over the
+    SAME number of device rows (batch*beams): isolates the beam
+    machinery (log-prob top-k, beam gather, cache-row gather) from
+    raw decode cost."""
+    import time
+
+    from metal_flash_attention_tpu.models import llama, serving
+
+    cfg = llama.LlamaConfig(vocab_size=32000, dim=2048, n_layers=4,
+                            n_heads=16, n_kv_heads=4, hidden_dim=5632)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    batch, prompt_len, new = 2, 128, 32
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        rng.integers(1, cfg.vocab_size, (batch, prompt_len)), jnp.int32)
+    flat_prompt = jnp.asarray(
+        rng.integers(1, cfg.vocab_size,
+                     (batch * num_beams, prompt_len)), jnp.int32)
+
+    def run_beam():
+        t0 = time.perf_counter()
+        seqs, scores = serving.beam_generate(
+            params, prompt, cfg, num_beams=num_beams,
+            max_new_tokens=new)
+        jax.block_until_ready((seqs, scores))
+        return time.perf_counter() - t0
+
+    def run_plain():
+        t0 = time.perf_counter()
+        out = serving.generate(params, flat_prompt, cfg,
+                               max_new_tokens=new)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    run_beam(); run_plain()
+    beam = min(run_beam(), run_beam())
+    plain = min(run_plain(), run_plain())
+    if beam <= 0 or plain <= 0:
+        raise RuntimeError(
+            f"invalid beam measurement: beam={beam} plain={plain}")
+    rows = batch * num_beams * new
+    return rows / beam, rows / plain
+
+
+def bench_sink(*, floor, window=1024, sink=4):
+    """Attention-sink decode (StreamingLLM A-shape) vs full-prefix
+    decode at the same cache: sink reads `sink + window` KV rows where
+    full reads all S, so at S=8192/window=1024 it should land several
+    times faster — a regression in the two-partial merge shows up as
+    the ratio collapsing toward 1."""
+    from metal_flash_attention_tpu.models.serving import sink_decode
+    from metal_flash_attention_tpu.ops.flash_decode import flash_decode
+    from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
+
+    rng = np.random.default_rng(0)
+    batch, qh, kvh, d, s = 8, 32, 8, 128, 8192
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)),
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)),
+                    jnp.bfloat16)
+    lens = jnp.full((batch,), s, jnp.int32)
+
+    def one_sink(q, k, v):
+        o = sink_decode(q, k, v, lens, window=window, sink=sink)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    def one_full(q, k, v):
+        o = flash_decode(q, k, v, kv_lens=lens)
+        return o[0, 0, :1].astype(jnp.float32).sum()
+
+    sink_s = time_scalar_fn(one_sink, (q, k, v), iters=512,
+                            dispatch_floor=floor)
+    full_s = time_scalar_fn(one_full, (q, k, v), iters=256,
+                            dispatch_floor=floor)
+    return batch / sink_s, batch / full_s
+
+
+def bench_gemm(size, *, floor, blocks=None):
     from metal_flash_attention_tpu.ops.gemm import gemm
     from metal_flash_attention_tpu.utils.profiling import time_scalar_fn
 
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((size, size)), jnp.bfloat16)
+    bm, bn = blocks if blocks else (None, None)
 
     def one(a, b):
-        return gemm(a, b)[0, :1].astype(jnp.float32).sum()
+        return gemm(a, b, block_m=bm,
+                    block_n=bn)[0, :1].astype(jnp.float32).sum()
 
     # Amortize far past the ~25 ms dispatch floor: when total in-jit
     # time is comparable to the floor, the floor subtraction noise
@@ -348,6 +476,13 @@ def bench_gemm(size, *, floor):
     iters = min(200_000, max(ITERS, int(4e13 / (2 * size**3))))
     secs = time_scalar_fn(one, (a, b), iters=iters, dispatch_floor=floor)
     return 2 * size**3 / secs  # FLOPS
+
+
+def bench_gemm_pallas(size, *, floor):
+    """Same GEMM through the native Pallas kernel (explicit blocks
+    force the pallas path in ops.gemm): the Mosaic-compiler control
+    row — see the control rationale in main()."""
+    return bench_gemm(size, floor=floor, blocks=(1024, 512))
 
 
 def bench_gemm_quantized(size, *, floor, precision, per_channel=True):
@@ -455,9 +590,66 @@ def main():
     floor = measure_dispatch_floor()
     err = sys.stderr
 
+    # Machine-readable record of every row this run produced —
+    # README/PARITY perf tables regenerate from this file, never from
+    # interim session runs (VERDICT r3 next #6).
+    import importlib.metadata as _md
+
+    def _ver(pkg):
+        try:
+            return _md.version(pkg)
+        except Exception:
+            return "unknown"
+
+    R: dict = {
+        "device": ctx.device_kind,
+        "backend": jax.default_backend(),
+        "roofline_ginstrs_per_s": roof,
+        "peak_bf16_tflops": ctx.info.peak_bf16_flops / 1e12,
+        "dispatch_floor_ms": round(floor * 1e3, 2),
+        # Session fingerprint: the r02->r03 attention "regression" was
+        # the ENVIRONMENT (machine reset swapped the tunnel/libtpu
+        # stack; the exact r02 code re-read 78.5% where its artifact
+        # said 99.2% — experiments/r04_regression_bisect.py), so every
+        # artifact now records what it ran on.
+        "versions": {p: _ver(p) for p in ("jax", "jaxlib", "libtpu")},
+        "rows": {},
+    }
+
+    def record(key, value, unit, **extra):
+        R["rows"][key] = {"value": round(float(value), 1),
+                          "unit": unit, **extra}
+
     print(f"# backend={jax.default_backend()} device={ctx.device_kind} "
           f"roofline={roof:.0f} GINSTRS/s rtt={floor * 1e3:.1f}ms",
           file=err)
+
+    # Same-session compute-bound control FIRST: when an attention row
+    # moves between rounds, this row says whether the session itself
+    # (chip/tunnel/XLA environment) moved (VERDICT r3 weak #1 asked
+    # for a control row printed in the attention section).
+    # Two controls: the XLA-dot row moves with the chip/tunnel; the
+    # Pallas row ALSO moves with the Mosaic/libtpu compiler — the
+    # r02->r03 drift hit only Pallas-compiled kernels (attention fell
+    # up to 20pp while XLA GEMM held), so the PAIR says which layer a
+    # future cross-session delta lives in.
+    try:
+        fl = retry_once(bench_gemm, 4096, floor=floor)
+        ctl = fl / ctx.info.peak_bf16_flops
+        print(f"# CONTROL gemm bf16 4096^3 XLA-dot (same session): "
+              f"{fl / 1e12:7.1f} TFLOPS ({ctl:5.1%})", file=err)
+        record("control_gemm_4096_util", ctl * 100, "% of peak")
+    except Exception as e:
+        print(f"# CONTROL gemm: FAIL {type(e).__name__}", file=err)
+    try:
+        fl = retry_once(bench_gemm_pallas, 4096, floor=floor)
+        ctl = fl / ctx.info.peak_bf16_flops
+        print(f"# CONTROL gemm bf16 4096^3 Pallas (same session): "
+              f"{fl / 1e12:7.1f} TFLOPS ({ctl:5.1%})", file=err)
+        record("control_gemm_pallas_4096_util", ctl * 100, "% of peak")
+    except Exception as e:
+        print(f"# CONTROL pallas gemm: FAIL {type(e).__name__}",
+              file=err)
 
     rows = []
     headline = None
@@ -471,6 +663,10 @@ def main():
                           causal=True)
         rows.append((d, n, fwd, fwd / roof, fwd_bwd, fwd_bwd / roof,
                      caus, caus / roof))
+        for tag, val in (("fwd", fwd), ("fwd_bwd", fwd_bwd),
+                         ("causal", caus)):
+            record(f"attn_{tag}_d{d}_n{n}", val, "GINSTRS/s",
+                   util_pct=round(100 * val / roof, 1))
         if d == 128:
             headline = fwd
     print("#  D     N      fwd GINSTRS/s  util    fwd+bwd   util"
@@ -487,6 +683,8 @@ def main():
                          causal=True)
         print(f"# causal long-context D=128 N=16384: {c16:8.0f} GINSTRS/s"
               f" ({c16 / roof:5.1%} util)", file=err)
+        record("attn_causal_d128_n16384", c16, "GINSTRS/s",
+               util_pct=round(100 * c16 / roof, 1))
     except Exception as e:
         print(f"# causal 16K: FAIL {type(e).__name__}", file=err)
 
@@ -497,6 +695,8 @@ def main():
                         floor=floor, with_bwd=True)
         print(f"# GQA fwd+bwd 32q/8kv D=128 N=4096: {gq:8.0f} GINSTRS/s"
               f" ({gq / roof:5.1%} util)", file=err)
+        record("attn_gqa_fwd_bwd_d128_n4096", gq, "GINSTRS/s",
+               util_pct=round(100 * gq / roof, 1))
     except Exception as e:
         print(f"# GQA fwd+bwd: FAIL {type(e).__name__}", file=err)
 
@@ -510,6 +710,8 @@ def main():
         print(f"# fwd+bwd D=128 N=4096 lowPrecisionIntermediates: "
               f"{lp:8.0f} GINSTRS/s ({lp / roof:5.1%} util; "
               f"{lp / base - 1:+.1%} vs fp32 residuals)", file=err)
+        record("attn_fwd_bwd_lpi_d128_n4096", lp, "GINSTRS/s",
+               util_pct=round(100 * lp / roof, 1))
     except Exception as e:
         print(f"# lpi fwd+bwd: FAIL {type(e).__name__}", file=err)
 
@@ -522,6 +724,7 @@ def main():
         try:
             toks = retry_once(bench_decode, floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)
+            record(f"decode_{name}_tok_s", toks, "tok/s")
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
 
@@ -534,6 +737,7 @@ def main():
         try:
             toks = retry_once(bench_paged, floor=floor, precision=prec)
             print(f"#   {name:9s} {toks:10.0f}", file=err)
+            record(f"paged_decode_{name}_tok_s", toks, "tok/s")
         except Exception as e:
             print(f"#   {name:9s} FAIL {type(e).__name__}", file=err)
 
@@ -545,6 +749,8 @@ def main():
               f" floor (4L d2048, b=4): {eng_tok:7.0f} tok/s "
               f"vs raw paged_decode_step {raw_tok:7.0f} "
               f"({eng_tok / raw_tok:5.1%})", file=err)
+        record("engine_step_bf16_tok_s", eng_tok, "tok/s",
+               raw_step_tok_s=round(raw_tok, 1))
     except Exception as e:
         print(f"# engine decode: FAIL {type(e).__name__}: {e}", file=err)
 
@@ -564,6 +770,7 @@ def main():
                   f"{burst_tok:7.0f} tok/s wall "
                   f"(dispatch floor {floor_frac:5.1%} of wall){vs}",
                   file=err)
+            record(f"engine_burst_{name}_tok_s", burst_tok, "tok/s")
         except Exception as e:
             print(f"# engine burst {name}: FAIL {type(e).__name__}: {e}",
                   file=err)
@@ -575,6 +782,7 @@ def main():
               if bf16_eng_tok else "")
         print(f"# engine decode int8-KV wall-clock (4L d2048, b=4): "
               f"{eng_tok:7.0f} tok/s{vs}", file=err)
+        record("engine_step_int8_tok_s", eng_tok, "tok/s")
     except Exception as e:
         print(f"# engine int8-KV: FAIL {type(e).__name__}: {e}",
               file=err)
@@ -584,6 +792,8 @@ def main():
         print(f"# prefix cache TTFT wall-clock (2048-tok prompt, 15/16 "
               f"pages hit): cold {cold * 1e3:7.1f} ms -> warm "
               f"{warm * 1e3:7.1f} ms ({cold / warm:4.1f}x)", file=err)
+        record("prefix_cache_cold_ttft_ms", cold * 1e3, "ms",
+               warm_ttft_ms=round(warm * 1e3, 1))
     except Exception as e:
         print(f"# prefix cache: FAIL {type(e).__name__}: {e}", file=err)
 
@@ -592,6 +802,9 @@ def main():
             fl = retry_once(bench_gemm, size, floor=floor)
             print(f"# gemm bf16 {size}^3: {fl / 1e12:7.1f} TFLOPS "
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
+            record(f"gemm_bf16_{size}_tflops", fl / 1e12, "TFLOPS",
+                   util_pct=round(100 * fl / ctx.info.peak_bf16_flops,
+                                  1))
         except Exception as e:
             print(f"# gemm {size}: FAIL {type(e).__name__}", file=err)
 
@@ -601,6 +814,8 @@ def main():
               f"{fl / 1e12:7.1f} TFLOPS "
               f"({fl / ctx.info.peak_bf16_flops:5.1%}; isolated 512^3 "
               f"is launch-bound, see bench_gemm_chain)", file=err)
+        record("gemm_bf16_512_chain8_tflops", fl / 1e12, "TFLOPS",
+               util_pct=round(100 * fl / ctx.info.peak_bf16_flops, 1))
     except Exception as e:
         print(f"# gemm chain: FAIL {type(e).__name__}", file=err)
 
@@ -612,16 +827,62 @@ def main():
             print(f"# gemm bf16 x {name}-B 4096^3 (per-channel scales): "
                   f"{fl / 1e12:7.1f} TFLOPS "
                   f"({fl / ctx.info.peak_bf16_flops:5.1%})", file=err)
+            record(f"gemm_{name}_4096_tflops", fl / 1e12, "TFLOPS",
+                   util_pct=round(100 * fl / ctx.info.peak_bf16_flops,
+                                  1))
         except Exception as e:
             print(f"# gemm quantized {name}: FAIL {type(e).__name__}",
                   file=err)
+
+    # Serving-feature rows (VERDICT r3 next #7: speculative decode,
+    # beam search, and sink decode had correctness tests but no perf
+    # row — a 2x regression in any of them was invisible).
+    try:
+        spec_tok, plain_tok = retry_once(bench_speculative, floor=floor)
+        print(f"# speculative decode (self-draft k=4, 4L d2048, b=4, "
+              f"64 new): {spec_tok:7.0f} tok/s wall vs plain paged "
+              f"{plain_tok:7.0f} ({spec_tok / plain_tok:5.1%})",
+              file=err)
+        record("speculative_tok_s", spec_tok, "tok/s",
+               plain_tok_s=round(plain_tok, 1))
+    except Exception as e:
+        print(f"# speculative: FAIL {type(e).__name__}: {e}", file=err)
+
+    try:
+        beam_tok, plain_tok = retry_once(bench_beam, floor=floor)
+        print(f"# beam search (4 beams, 4L d2048, b=2, 32 new): "
+              f"{beam_tok:7.0f} rows*tok/s wall vs plain dense b=8 "
+              f"{plain_tok:7.0f} ({beam_tok / plain_tok:5.1%})",
+              file=err)
+        record("beam_rows_tok_s", beam_tok, "rows*tok/s",
+               plain_tok_s=round(plain_tok, 1))
+    except Exception as e:
+        print(f"# beam search: FAIL {type(e).__name__}: {e}", file=err)
+
+    try:
+        sink_tok, full_tok = retry_once(bench_sink, floor=floor)
+        print(f"# sink decode (window=1024+4 sinks vs full S=8192, "
+              f"b=8): {sink_tok:7.0f} tok/s vs full {full_tok:7.0f} "
+              f"({sink_tok / full_tok:4.1f}x)", file=err)
+        record("sink_decode_tok_s", sink_tok, "tok/s",
+               full_tok_s=round(full_tok, 1))
+    except Exception as e:
+        print(f"# sink decode: FAIL {type(e).__name__}: {e}", file=err)
 
     try:
         toks, mfu = retry_once(bench_train_step, floor=floor)
         print(f"# llama train (4L d2048 n4096, 1 chip): {toks:7.0f} "
               f"tok/s ({mfu:5.1%} param-MFU)", file=err)
+        record("llama_train_tok_s", toks, "tok/s",
+               param_mfu_pct=round(100 * mfu, 1))
     except Exception as e:
         print(f"# llama train: FAIL {type(e).__name__}", file=err)
+
+    with open("bench_results.json", "w") as f:
+        json.dump(R, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print("# wrote bench_results.json "
+          f"({len(R['rows'])} rows)", file=err)
 
     print(json.dumps({
         "metric": "attention_fwd_ginstrs_per_s_d128_n4096_bf16",

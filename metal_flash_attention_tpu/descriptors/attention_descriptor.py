@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from metal_flash_attention_tpu.descriptors.parameters import (
     _TABLES,
+    clamp_to_vmem,
     select_block_sizes,
     tpu_generation,
 )
@@ -133,7 +134,15 @@ class AttentionDescriptor:
                 tuned = lookup_tuned_blocks(causal_table, self.head_dim,
                                             compute, self.q_len)
                 if tuned is not None:
-                    bq, bkv = tuned
+                    # Stale or foreign-device cache entries can carry
+                    # an over-budget pair (the r03 chip session
+                    # persisted (1024, 2048) from a dQ-only sweep and
+                    # the dKV kernel OOM'd scoped VMEM) — re-validate
+                    # like the other two tuned-lookup call sites
+                    # (ADVICE r3 low).
+                    bq, bkv = clamp_to_vmem(causal_table, tuned[0],
+                                            tuned[1], self.head_dim,
+                                            compute)
         if bq is None:
             bq, bkv = select_block_sizes(
                 table, self.head_dim, compute,

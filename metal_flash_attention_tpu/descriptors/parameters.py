@@ -93,12 +93,19 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
         },
         "mixed": {
             # Measured on TPU v5e (bf16, 300ms-amortized in-jit
-            # timing, r02 re-sweep): D=64 -> 44% roofline
-            # (hardware-bound: 64-deep MXU contraction caps QK at
-            # half rate — see the D=64 wall memo in
-            # ops/flash_attention.py), D=128 -> 82%, D=256 -> 87%.
-            # block_kv = 2048 enables the two-half MXU/VPU overlap
-            # pipeline (ops/flash_attention.py).
+            # timing; r02 sweep, D=256 re-confirmed r04): D=64 -> 44%
+            # roofline (hardware-bound: 64-deep MXU contraction caps
+            # QK at half rate — see the D=64 wall memo in
+            # ops/flash_attention.py), D=128 -> 78-87% (session-
+            # dependent), D=256 -> 82%.  block_kv = 2048 enables the
+            # two-half MXU/VPU overlap pipeline.  D=256 note:
+            # (1024, 2048) measures ~2pp faster (84.3% vs 82.4%,
+            # experiments/r04_regression_bisect.py, agreeing with
+            # chip_session_r03.log:33) but sits at the modeled
+            # scoped-VMEM edge (16.0 MiB vs the 15 MiB budget) and
+            # clamp_to_vmem would fold it to the slower (1024, 1024);
+            # the 2pp is not worth loosening the clamp that closed
+            # the r03 grad-composition OOM class.
             "default": (
                 ParameterRow(64, 1024, 2048),
                 ParameterRow(128, 1024, 2048),
@@ -266,6 +273,20 @@ def _sweep_attention_miss(kernel_type, head_dim, dtype, seq_len,
             kernel_type=base_kt, n=min(key[3], 8192), head_dim=head_dim,
             heads=4, dtype=dtype, causal=causal, candidates=cands,
             iters=128, repeats=2)
+        if key[3] > 8192:
+            # The sweep runs (and autotune_attention persists) at the
+            # capped n=8192 bucket, but lookup_tuned_blocks keys by
+            # the UNCAPPED pow2(seq_len) bucket — re-insert the winner
+            # under the caller's bucket or every un-jitted N>8192
+            # dispatch re-pays the whole sweep (ADVICE r3 medium).
+            from metal_flash_attention_tpu.runtime.cache import (
+                KernelConfigCache,
+            )
+            cache = KernelConfigCache.get()
+            cache.insert(
+                cache.attention_key(kernel_type, head_dim, dtype,
+                                    q_len_bucket=key[3]),
+                winner)
         return winner
     except Exception as e:
         logger.warning("autotune-on-miss sweep failed (%s: %s); using "

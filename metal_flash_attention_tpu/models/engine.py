@@ -457,6 +457,14 @@ class ServingEngine:
             tokens[i] = r.next_token
             active[i] = True
             remaining[i] = r.max_new_tokens - len(r.out)
+            # The host-side length mirror below assumes every active
+            # row emits at least once this burst (emit == alive);
+            # _retire guarantees exhausted rows never re-enter, but a
+            # remaining==0 row slipping through would silently desync
+            # the mirror from the device cache (ADVICE r3 low).
+            assert remaining[i] >= 1, (
+                f"slot {i} entered burst with remaining="
+                f"{remaining[i]}")
             rids[i] = r.rid
             idx0[i] = len(r.out)
             temp[i] = r.temperature

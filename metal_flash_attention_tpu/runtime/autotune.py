@@ -47,7 +47,8 @@ def _loop_timed(fn: Callable, args, *, iters: int, repeats: int) -> float:
             # the scan).
             a0 = jax.tree.map(
                 lambda x: x + c.astype(x.dtype)
-                if isinstance(x, jax.Array) else x, a[0])
+                if isinstance(x, jax.Array)
+                and jnp.issubdtype(x.dtype, jnp.number) else x, a[0])
             s = fn(*((a0,) + a[1:]))
             return s.astype(jnp.float32) * 0.0, ()
         c, _ = jax.lax.scan(

@@ -68,6 +68,40 @@ class TestKernelConfigCache:
         assert vmem_bytes(bq, bkv, 128, 2, backward=True) <= budget
         assert (bq, bkv) != (1024, 2048)
 
+    def test_descriptor_causal_tuned_winner_is_clamped(self, tmp_path):
+        """ADVICE r3 low: the descriptor facade's backward-causal
+        branch returned lookup_tuned_blocks results verbatim while the
+        other two tuned-lookup call sites clamp — a poisoned causal
+        entry must come back VMEM-valid here too."""
+        from metal_flash_attention_tpu.descriptors.attention_descriptor \
+            import AttentionDescriptor, AttentionKernelType
+        from metal_flash_attention_tpu.descriptors.parameters import (
+            vmem_bytes,
+        )
+
+        poisoned = KernelConfigCache(str(tmp_path / "poisoned.json"))
+        key = poisoned.attention_key(
+            "backward_query_causal", 128, jnp.bfloat16,
+            q_len_bucket=4096)
+        poisoned.insert(key, (2048, 4096))
+        old = KernelConfigCache._instance
+        KernelConfigCache._instance = poisoned
+        try:
+            from metal_flash_attention_tpu.descriptors.precision import (
+                OperandPrecision,
+            )
+
+            desc = AttentionDescriptor(
+                q_len=4096, head_dim=128, causal=True,
+                input_precision=OperandPrecision.BF16)
+            cfg = desc.kernel_config(AttentionKernelType.BACKWARD_QUERY)
+        finally:
+            KernelConfigCache._instance = old
+        budget = DeviceContext.get().info.vmem_bytes
+        assert vmem_bytes(cfg.block_q, cfg.block_kv, 128, 2,
+                          backward=True) <= budget
+        assert (cfg.block_q, cfg.block_kv) != (2048, 4096)
+
     def test_insert_lookup_roundtrip(self, tmp_path):
         cache = KernelConfigCache(str(tmp_path / "store.json"))
         key = cache.attention_key("forward", 128, jnp.bfloat16,
@@ -367,6 +401,30 @@ class TestAutotuneOnMiss:
                 "forward", 96, jnp.bfloat16, seq_len=512)
             assert len(fake_timer) == n_first, \
                 "second dispatch must hit the persisted winner"
+            assert got1 == got2
+        finally:
+            parameters.set_autotune_on_miss(prev)
+
+    def test_long_seq_miss_winner_is_reused(self, fresh_cache,
+                                            fake_timer):
+        """ADVICE r3 medium: the sweep runs at n=min(bucket, 8192) and
+        used to persist ONLY under the capped 8192 bucket, while the
+        lookup keys by the uncapped pow2(seq_len) bucket — so every
+        un-jitted N>8192 dispatch of a novel head dim re-paid the full
+        sweep.  The winner must be found on the second dispatch."""
+        from metal_flash_attention_tpu.descriptors import parameters
+
+        prev = parameters._AUTOTUNE_ON_MISS
+        parameters.set_autotune_on_miss(True)
+        try:
+            got1 = parameters.select_block_sizes(
+                "forward", 96, jnp.bfloat16, seq_len=16384)
+            n_first = len(fake_timer)
+            assert n_first >= 2
+            got2 = parameters.select_block_sizes(
+                "forward", 96, jnp.bfloat16, seq_len=16384)
+            assert len(fake_timer) == n_first, \
+                "N>8192 winner must persist under the uncapped bucket"
             assert got1 == got2
         finally:
             parameters.set_autotune_on_miss(prev)
