@@ -125,16 +125,19 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
             ),
         },
         "mixed": {
-            # Measured on v5e (r02 per-D sweeps, 7 candidates each):
-            # (1024, 1024) wins at every head dim — causal wants
-            # square-ish blocks (skip waste scales with block_kv /
-            # block_q, overlap with block area).  Utilization of the
-            # halved work model: D=64 30% / D=128 53% @ N=4096,
-            # D=256 37% @ N=2048, D=128 71% @ N=16384 — the per-D /
-            # per-N plateau analysis lives in the
-            # ops/flash_attention.py module docstring.
+            # Measured on v5e (r04 sweeps after the full-lane-tile +
+            # select-body fix, experiments/r04_causal_rematch.py):
+            # (512, 512) now wins D=128 (54.9% @ N=4096) and D=256
+            # (48.8% @ N=2048) of the halved work model — both ahead
+            # of a tuned jax-flash (53.9 / 47.9) in the same session.
+            # D=64 stays (1024, 1024) (29.5%): its 64-lane d_pad
+            # cannot tile the alpha broadcast, so narrow blocks still
+            # pay the slice-broadcast cost.  Pre-fix history (every D
+            # wanting (1024, 1024)) and the per-D/per-N plateau
+            # analysis live in the ops/flash_attention.py docstring.
             "default": (
-                ParameterRow(8192, 1024, 1024),
+                ParameterRow(64, 1024, 1024),
+                ParameterRow(8192, 512, 512),
             ),
         },
     },

@@ -242,6 +242,7 @@ def _make_fwd_kernel(
     group: int = 1,
     logit_softcap=None,
     single_body: bool = False,
+    emit_lse: bool = True,
 ):
     scale_log2e = scale * LOG2E
     # Softcap operates on natural-unit logits; in the base-2 domain the
@@ -252,6 +253,16 @@ def _make_fwd_kernel(
     # Block-level skip guard needed only when whole blocks can be
     # invisible; kv padding alone is handled by the element mask.
     needs_when = causal or window_size is not None
+    # Broadcast policy (measured r04, experiments/r04_perstep_ablation
+    # .py): Mosaic lowers a [bq, 1] SLICE broadcast (m_next[:, :1] in
+    # the p subtract, alpha[:, :1] in the acc update) so poorly at
+    # narrow bodies that (512, 512) ran at 36% where an explicit
+    # jnp.tile of the full-lane [bq, 128] residual reads 70% — the
+    # entire "per-block fixed cost" plateau documented above.  At
+    # 1024-wide halves the slice broadcast is the faster form
+    # (79% vs 70% tiled at (1024, 2048)), so the tile is gated on
+    # body width.  d_pad must be a 128-multiple to tile alpha.
+    full_lane_bcast = half <= 512 and half % MIN_LANES == 0
 
     def kernel(*refs):
         it = iter(refs)
@@ -266,7 +277,7 @@ def _make_fwd_kernel(
         qseg_ref = next(it) if has_segments else None
         kvseg_ref = next(it) if has_segments else None
         o_ref = next(it)
-        l_ref = next(it)
+        l_ref = next(it) if emit_lse else None
         m_scr = next(it)
         l_scr = next(it)
         acc_scr = next(it)
@@ -282,7 +293,7 @@ def _make_fwd_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        def body(masked: bool = True):
+        def body(masked: bool = True, interior_scalar=None):
             # ``masked=False`` is the interior fast path: blocks fully
             # inside the causal/window visible region skip the
             # structural compares (the fwd pass is VPU-bound; the mask
@@ -380,13 +391,14 @@ def _make_fwd_kernel(
 
             def struct_mask(u):
                 # delta <= thr  <=>  cols <= rows + offset
-                em = None
+                em_seg = None
                 if has_segments:
                     kvseg = kvseg_ref[0, 0:1,
                                       u * half:(u + 1) * half]  # [1, half]
-                    em = qseg == kvseg
+                    em_seg = qseg == kvseg
                 if not masked:
-                    return em
+                    return em_seg
+                em = None
                 if causal:
                     thr = i * block_q + offset - j * block_kv - u * half
                     em_c = delta <= thr
@@ -399,6 +411,17 @@ def _make_fwd_kernel(
                 if kv_pad:
                     em_p = col_static < kv_len - j * block_kv - u * half
                     em = em_p if em is None else jnp.logical_and(em, em_p)
+                if em is not None and interior_scalar is not None:
+                    # Select-body form: ONE guarded body; fully-
+                    # visible (interior) blocks neutralize the
+                    # structural mask with a scalar OR instead of a
+                    # second pl.when program (the widened mask costs
+                    # one VPU op; the dual instantiation costs per-
+                    # step scheduling — measured r04_causal_skeleton).
+                    em = jnp.logical_or(em, interior_scalar)
+                if em_seg is not None:
+                    em = em_seg if em is None \
+                        else jnp.logical_and(em, em_seg)
                 return em
 
             m_prev = m_scr[...]
@@ -412,7 +435,11 @@ def _make_fwd_kernel(
                 m_next = jnp.maximum(
                     m_prev, jnp.max(s, axis=1, keepdims=True))
                 alpha = jnp.exp2(m_prev - m_next)
-                p = jnp.exp2(s - m_next[:, :1])
+                if full_lane_bcast:
+                    p = jnp.exp2(
+                        s - jnp.tile(m_next, (1, half // MIN_LANES)))
+                else:
+                    p = jnp.exp2(s - m_next[:, :1])
                 if has_mask:
                     # The external-mask gate multiplies p exactly, so
                     # fully gated rows keep l = 0 (O = 0, L = -inf)
@@ -431,6 +458,7 @@ def _make_fwd_kernel(
             l_scr[...] = l_prev
 
             acc = acc_scr[...]
+            d_lanes = acc.shape[-1]
             for u in range(num_halves):
                 vu = load_v(u)
                 pv = jax.lax.dot_general(
@@ -442,7 +470,11 @@ def _make_fwd_kernel(
                 # cleanup (reference's everyIterationScale /
                 # lastIterationScale hooks,
                 # AttentionKernel+Accumulate.swift:16-21).
-                acc = acc * alphas[u][:, :1] + pv
+                if full_lane_bcast and d_lanes % MIN_LANES == 0:
+                    acc = acc * jnp.tile(
+                        alphas[u], (1, d_lanes // MIN_LANES)) + pv
+                else:
+                    acc = acc * alphas[u][:, :1] + pv
             acc_scr[...] = acc
 
         if needs_when:
@@ -450,30 +482,39 @@ def _make_fwd_kernel(
                 i, j, block_q=block_q, block_kv=block_kv, causal=causal,
                 window_size=window_size, offset=offset, kv_len=kv_len,
             )
-            if single_body:
+            # Interior = every element of the block is visible under
+            # the structural masks.
+            interior = jnp.bool_(True)
+            if causal:
+                interior = jnp.logical_and(
+                    interior,
+                    (j + 1) * block_kv - 1 <= i * block_q + offset)
+            if window_size is not None:
+                interior = jnp.logical_and(
+                    interior,
+                    j * block_kv > ((i + 1) * block_q - 1 + offset
+                                    - window_size))
+            if kv_pad:
+                interior = jnp.logical_and(
+                    interior, (j + 1) * block_kv <= kv_len)
+            if single_body == "select":
+                # ONE guarded body; interior blocks neutralize the
+                # structural mask via a scalar OR inside struct_mask.
+                # At narrow bodies this beats the dual instantiation
+                # (r04_perstep/causal_skeleton probes); it pays the
+                # mask compares on interior blocks like "single" but
+                # avoids nothing-visible degenerate rows differently.
+                pl.when(should_run)(
+                    lambda: body(True, interior_scalar=interior))
+            elif single_body:
                 # Lean form: one always-masked body.  Interior blocks
                 # pay the mask compares, but the guarded region holds
                 # half the code — the structural masks are all-visible
                 # on interior blocks, so the result is identical.
                 pl.when(should_run)(lambda: body(True))
             else:
-                # Interior = every element of the block is visible
-                # under the structural masks, so the fast
-                # (compare-free) body applies; diagonal-crossing /
-                # padded blocks take the masked body.
-                interior = jnp.bool_(True)
-                if causal:
-                    interior = jnp.logical_and(
-                        interior,
-                        (j + 1) * block_kv - 1 <= i * block_q + offset)
-                if window_size is not None:
-                    interior = jnp.logical_and(
-                        interior,
-                        j * block_kv > ((i + 1) * block_q - 1 + offset
-                                        - window_size))
-                if kv_pad:
-                    interior = jnp.logical_and(
-                        interior, (j + 1) * block_kv <= kv_len)
+                # Fast compare-free body on interior blocks; diagonal-
+                # crossing / padded blocks take the masked body.
                 pl.when(jnp.logical_and(should_run, interior))(
                     lambda: body(False))
                 pl.when(jnp.logical_and(should_run,
@@ -487,16 +528,23 @@ def _make_fwd_kernel(
             l_final = l_scr[:, :1]
             safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
             o_ref[0, 0] = (acc_scr[...] / safe_l).astype(out_dtype)
-            m_final = m_scr[:, 0]
-            l_vec = l_scr[:, 0]
-            lse2 = jnp.where(
-                l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
-            # Residual layout: (RESIDUAL_SUBLANES, block_q) duplicated
-            # sublanes to satisfy the TPU (8, 128) tile constraint.
-            # The cast honors lowPrecisionIntermediates (bf16 L).
-            l_ref[0, 0] = jnp.broadcast_to(
-                (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(
-                    l_ref.dtype)
+            # The L residual is emitted only when a consumer exists
+            # (vjp fwd / return_residuals): a second pallas output
+            # costs ~3pp of forward utilization even though its data
+            # is tiny (measured r04, experiments/r04_causal_skeleton
+            # .py — the out-window bookkeeping, not the bytes).
+            if emit_lse:
+                m_final = m_scr[:, 0]
+                l_vec = l_scr[:, 0]
+                lse2 = jnp.where(
+                    l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
+                # Residual layout: (RESIDUAL_SUBLANES, block_q)
+                # duplicated sublanes to satisfy the TPU (8, 128) tile
+                # constraint.  The cast honors
+                # lowPrecisionIntermediates (bf16 L).
+                l_ref[0, 0] = jnp.broadcast_to(
+                    (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(
+                        l_ref.dtype)
 
     return kernel
 
@@ -518,6 +566,7 @@ def _make_fwd_kernel_dynamic(
     group: int = 1,
     logit_softcap=None,
     resident: bool = False,
+    emit_lse: bool = True,
 ):
     """Dynamic-traversal forward for causal / sliding-window masks.
 
@@ -552,6 +601,9 @@ def _make_fwd_kernel_dynamic(
     softcap2 = logit_softcap * LOG2E if logit_softcap else None
     offset = kv_len - q_len
     half = block_kv // num_halves
+    # Same tiled-vs-slice residual broadcast policy as the grid
+    # kernel (see _make_fwd_kernel's note).
+    full_lane_bcast = half <= 512 and half % MIN_LANES == 0
     # Last KV block with any live (non-padding) column — static.
     live_last = (kv_len - 1) // block_kv
     needs_p_zero = (((causal or window_size is not None) and offset < 0)
@@ -567,7 +619,7 @@ def _make_fwd_kernel_dynamic(
         qseg_ref = next(it) if has_segments else None
         kvseg_ref = next(it) if has_segments else None
         o_ref = next(it)
-        l_ref = next(it)
+        l_ref = next(it) if emit_lse else None
         m_scr = next(it)
         l_scr = next(it)
         acc_scr = next(it)
@@ -706,7 +758,13 @@ def _make_fwd_kernel_dynamic(
                     m_next = jnp.maximum(
                         m_prev, jnp.max(s, axis=1, keepdims=True))
                     alpha = jnp.exp2(m_prev - m_next)
-                    p = jnp.exp2(s - m_next[:, :1])
+                    if full_lane_bcast:
+                        # Tiled full-lane residual broadcast (see the
+                        # policy note in _make_fwd_kernel).
+                        p = jnp.exp2(
+                            s - jnp.tile(m_next, (1, half // MIN_LANES)))
+                    else:
+                        p = jnp.exp2(s - m_next[:, :1])
                     if em is not None and needs_p_zero:
                         p = jnp.where(em, p, 0.0)
                     l_prev = (alpha * l_prev
@@ -723,6 +781,7 @@ def _make_fwd_kernel_dynamic(
                     v_raw = v_scr[slot]
                 v_strip = dequant(v_raw, v_scale_ref)
                 acc = acc_scr[...]
+                d_lanes = acc.shape[-1]
                 for u in range(num_halves):
                     vu = v_strip[u * half:(u + 1) * half, :]
                     pv = jax.lax.dot_general(
@@ -731,7 +790,11 @@ def _make_fwd_kernel_dynamic(
                         preferred_element_type=jnp.float32,
                         precision=precision,
                     )
-                    acc = acc * alphas[u][:, :1] + pv
+                    if full_lane_bcast and d_lanes % MIN_LANES == 0:
+                        acc = acc * jnp.tile(
+                            alphas[u], (1, d_lanes // MIN_LANES)) + pv
+                    else:
+                        acc = acc * alphas[u][:, :1] + pv
                 acc_scr[...] = acc
                 return 0
 
@@ -760,11 +823,14 @@ def _make_fwd_kernel_dynamic(
         l_final = l_scr[:, :1]
         safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
         o_ref[0, 0] = (acc_scr[...] / safe_l).astype(out_dtype)
-        m_final = m_scr[:, 0]
-        l_vec = l_scr[:, 0]
-        lse2 = jnp.where(l_vec > 0.0, m_final + jnp.log2(l_vec), -jnp.inf)
-        l_ref[0, 0] = jnp.broadcast_to(
-            (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(l_ref.dtype)
+        if emit_lse:
+            m_final = m_scr[:, 0]
+            l_vec = l_scr[:, 0]
+            lse2 = jnp.where(l_vec > 0.0, m_final + jnp.log2(l_vec),
+                             -jnp.inf)
+            l_ref[0, 0] = jnp.broadcast_to(
+                (lse2 * LN2)[None, :], l_ref.shape[2:]).astype(
+                    l_ref.dtype)
 
     return kernel
 
@@ -788,6 +854,7 @@ def flash_attention_forward(
     interpret: Optional[bool] = None,
     low_precision_intermediates: bool = False,
     out_dtype=None,
+    emit_lse: bool = True,
 ):
     """Fused forward attention.
 
@@ -975,6 +1042,7 @@ def flash_attention_forward(
             has_segments=has_segments, out_dtype=out_dtype,
             precision=precision, kv_precision=kv_precision, group=group,
             logit_softcap=logit_softcap, resident=resident,
+            emit_lse=emit_lse,
         )
         if resident:
             # Whole strip on a constant index map: fetched once per
@@ -1016,23 +1084,22 @@ def flash_attention_forward(
                 lambda b, h, i: (b, 0, 0, 0)))
             inputs.append(ks_blk)
 
-        o, lse = pl.pallas_call(
+        out_specs = [pl.BlockSpec((1, 1, block_q, d_pad),
+                                  lambda b, h, i: (b, h, i, 0))]
+        out_shape = [jax.ShapeDtypeStruct(
+            (batch, q_heads, r_pad, d_pad), out_dtype)]
+        if emit_lse:
+            out_specs.append(
+                pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
+                             lambda b, h, i: (b, h, 0, i)))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (batch, q_heads, RESIDUAL_SUBLANES, r_pad), res_dtype))
+        outs = pl.pallas_call(
             kernel,
             grid=(batch, q_heads, num_q_blocks),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, 1, block_q, d_pad),
-                             lambda b, h, i: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
-                             lambda b, h, i: (b, h, 0, i)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (batch, q_heads, r_pad, d_pad), out_dtype),
-                jax.ShapeDtypeStruct(
-                    (batch, q_heads, RESIDUAL_SUBLANES, r_pad),
-                    res_dtype),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
                 pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
@@ -1047,10 +1114,12 @@ def flash_attention_forward(
             ),
             interpret=interpret,
         )(*inputs)
-        o = o[:, :, :q_len, :head_dim]
+        o = outs[0][:, :, :q_len, :head_dim]
         if f16_out:
             o = o.astype(jnp.float16)
-        return o, lse[:, :, 0, :q_len]
+        if not emit_lse:
+            return o, None
+        return o, outs[1][:, :, 0, :q_len]
 
     def kv_index(b, h, i, j, g=group):
         # Skipped blocks re-point FORWARD: steps before the visible
@@ -1150,7 +1219,15 @@ def flash_attention_forward(
     precision = (jax.lax.Precision.HIGHEST
                  if jnp.dtype(q.dtype) == jnp.dtype(jnp.float32)
                  else jax.lax.Precision.DEFAULT)
-    single_body = _SINGLE_BODY if _SINGLE_BODY is not None else False
+    # Body policy: at narrow bodies (the full-lane-tile regime, see
+    # _make_fwd_kernel) the single select-form body wins; at wide
+    # bodies the dual interior/masked pair does.  _SINGLE_BODY
+    # overrides for probes (True / False / "select").
+    if _SINGLE_BODY is not None:
+        single_body = _SINGLE_BODY
+    else:
+        single_body = ("select"
+                       if block_kv // num_halves <= 512 else False)
     kernel = _make_fwd_kernel(
         block_q=block_q, block_kv=block_kv, num_halves=num_halves,
         num_kv_blocks=num_kv_blocks,
@@ -1160,23 +1237,25 @@ def flash_attention_forward(
         kv_pad=kv_pad, out_dtype=out_dtype,
         precision=precision, kv_precision=kv_precision, group=group,
         logit_softcap=logit_softcap, single_body=single_body,
+        emit_lse=emit_lse,
     )
 
-    o, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 1, block_q, d_pad),
+                              lambda b, h, i, j: (b, h, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((batch, q_heads, r_pad, d_pad),
+                                      out_dtype)]
+    if emit_lse:
+        out_specs.append(
+            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
+                         lambda b, h, i, j: (b, h, 0, i)))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (batch, q_heads, RESIDUAL_SUBLANES, r_pad), res_dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_pad),
-                         lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, block_q),
-                         lambda b, h, i, j: (b, h, 0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, q_heads, r_pad, d_pad), out_dtype),
-            jax.ShapeDtypeStruct(
-                (batch, q_heads, RESIDUAL_SUBLANES, r_pad), res_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
@@ -1189,6 +1268,7 @@ def flash_attention_forward(
         interpret=interpret,
     )(*inputs)
 
+    o = outs[0]
     if is_nf4:
         half = head_dim // 2
         o = jnp.concatenate(
@@ -1198,7 +1278,9 @@ def flash_attention_forward(
         o = o[:, :, :q_len, :head_dim]
     if f16_out:
         o = o.astype(jnp.float16)
-    return o, lse[:, :, 0, :q_len]
+    if not emit_lse:
+        return o, None
+    return o, outs[1][:, :, 0, :q_len]
 
 
 @functools.partial(
@@ -1266,7 +1348,8 @@ def flash_attention(
     if isinstance(k, QuantizedTensor):
         # Serving path: quantized KV caches are not differentiated
         # (the reference likewise only generates forward kernels for
-        # quantized KV).
+        # quantized KV).  L is emitted only when the caller consumes
+        # it (a second pallas output costs ~3pp of utilization).
         o, lse = flash_attention_forward(
             q, k, v, causal=causal, window_size=window_size, mask=mask,
             bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
@@ -1275,15 +1358,16 @@ def flash_attention(
             block_q=block_q, block_kv=block_kv,
             interpret=interpret,
             low_precision_intermediates=low_precision_intermediates,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, emit_lse=return_residuals,
         )
         return (o, lse) if return_residuals else o
 
     from metal_flash_attention_tpu.ops.flash_attention_bwd import (
         _flash_attention_vjp,
+        _flash_attention_vjp_o,
     )
 
-    o, lse = _flash_attention_vjp(
+    vjp_args = (
         q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
         causal, window_size, scale, logit_softcap,
         block_q, block_kv, interpret,
@@ -1291,5 +1375,7 @@ def flash_attention(
         jnp.dtype(out_dtype).name if out_dtype is not None else None,
     )
     if return_residuals:
-        return o, lse
-    return o
+        return _flash_attention_vjp(*vjp_args)
+    # Common case: no residual consumer — the primal kernel emits one
+    # output (differentiation still works; the vjp fwd rule computes L).
+    return _flash_attention_vjp_o(*vjp_args)

@@ -807,3 +807,52 @@ def _vjp_bwd(causal, window_size, scale, logit_softcap, block_q,
 
 
 _flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
+def _flash_attention_vjp_o(
+    q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
+    causal, window_size, scale, logit_softcap, block_q, block_kv,
+    interpret, low_precision_intermediates=False, out_dtype=None,
+):
+    """O-only variant for the common `return_residuals=False` call:
+    the primal pallas kernel emits a SINGLE output — a second (L)
+    output costs ~3pp of forward utilization on v5e purely in
+    out-window bookkeeping (experiments/r04_causal_skeleton.py), and
+    XLA cannot DCE an unused output out of an opaque pallas_call.
+    Differentiated calls route through the fwd rule below, which does
+    emit L (the backward needs it)."""
+    o, _ = flash_attention_forward(
+        q, k, v, causal=causal, window_size=window_size, mask=mask,
+        bias=bias, mask2=mask2, q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids, scale=scale,
+        logit_softcap=logit_softcap,
+        block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+        low_precision_intermediates=low_precision_intermediates,
+        out_dtype=out_dtype, emit_lse=False,
+    )
+    return o
+
+
+def _vjp_o_fwd(q, k, v, mask, bias, mask2, q_segment_ids,
+               kv_segment_ids, causal, window_size, scale,
+               logit_softcap, block_q, block_kv, interpret,
+               low_precision_intermediates=False, out_dtype=None):
+    (o, lse), res = _vjp_fwd(
+        q, k, v, mask, bias, mask2, q_segment_ids, kv_segment_ids,
+        causal, window_size, scale, logit_softcap, block_q, block_kv,
+        interpret, low_precision_intermediates, out_dtype)
+    return o, res
+
+
+def _vjp_o_bwd(causal, window_size, scale, logit_softcap, block_q,
+               block_kv, interpret, low_precision_intermediates,
+               out_dtype, residuals, do):
+    return _vjp_bwd(causal, window_size, scale, logit_softcap, block_q,
+                    block_kv, interpret, low_precision_intermediates,
+                    out_dtype, residuals, (do, None))
+
+
+_flash_attention_vjp_o.defvjp(_vjp_o_fwd, _vjp_o_bwd)

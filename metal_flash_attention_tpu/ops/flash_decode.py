@@ -90,6 +90,7 @@ def _make_decode_kernel(
     kv_precision=None,
     precision=None,
     logit_softcap=None,
+    nf4_paired: bool = False,
 ):
     scale_log2e = scale * LOG2E
     # Softcap in the base-2 logit domain (see flash_attention.py).
@@ -126,16 +127,20 @@ def _make_decode_kernel(
         # INT8/FP8: the per-(batch, head) scales are scalars, so the K
         # scale folds into the Q prescale and the V scale into the
         # final store — no per-element dequant multiplies remain, only
-        # the cast/bit-expansion (NF4's codebook is non-linear and
-        # keeps the full dequant).
+        # the cast/bit-expansion.  NF4's codebook is non-linear but
+        # still LINEAR in the scale, so the paired path folds scales
+        # the same way; the legacy (unpaired) NF4 path folds the scale
+        # into the gather table inside dequant_block instead.
         fold_scales = (kv_precision is not None
-                       and kv_precision is not OperandPrecision.NF4)
+                       and (kv_precision is not OperandPrecision.NF4
+                            or nf4_paired))
 
         def body():
             from metal_flash_attention_tpu.ops.quantization import (
                 _FP8_MAGIC_EXP,
                 dequant_block,
                 fp8_expand_bits,
+                nf4_codebook_lookup,
             )
 
             q = q_ref[0, 0]
@@ -147,26 +152,78 @@ def _make_decode_kernel(
             q = (q.astype(jnp.float32) * qscale).astype(q.dtype)
             k = k_ref[0, 0]
             v = v_ref[0, 0]
-            if fold_scales:
-                if kv_precision in _FP8_MAGIC_EXP:
-                    k = fp8_expand_bits(k, kv_precision).astype(q.dtype)
-                    v = fp8_expand_bits(v, kv_precision).astype(q.dtype)
-                else:   # INT8 values are exact in bf16
-                    k = k.astype(jnp.float32).astype(q.dtype)
-                    v = v.astype(jnp.float32).astype(q.dtype)
-            elif kv_precision is not None:
-                k = dequant_block(k, k_scale_ref[b, h], kv_precision, q.dtype)
-                v = dequant_block(v, v_scale_ref[b, h], kv_precision, q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # [group_pad, block_kv]
+            if nf4_paired:
+                # Full-lane NF4 (VERDICT r3 next #5, the paged
+                # kernel's trick adapted to the head-dim-packed dense
+                # layout): the [block_kv, 64] payload is viewed (free
+                # contiguous reshape at dispatch) as [R, 128] bytes
+                # with R = block_kv/2 — row r lanes 0:64 = token 2r's
+                # bytes, lanes 64:128 = token 2r+1's — so the widen/
+                # mask/gather chain runs at the FULL 128-lane VPU rate
+                # (sub-128-lane arrays halve every VPU op; the 64-lane
+                # path measured 6.3k tok/s vs its own ~10k ceiling).
+                # Nibble planes: byte j of token t holds elements
+                # (j, j+64), lo nibble first (split-half layout).
+                # The token/head-half interleave is untangled by four
+                # masked dots per matmul; the MXU waste is irrelevant
+                # here (NF4 decode is VPU-dequant-bound — see the
+                # certified-ceiling memo in flash_decode's dispatch).
+                half = 64
+                u_k = pltpu.bitcast(k, jnp.int8).astype(jnp.int32) & 0xFF
+                k_lo = nf4_codebook_lookup(u_k & 0xF).astype(q.dtype)
+                k_hi = nf4_codebook_lookup(u_k >> 4).astype(q.dtype)
+                zer = jnp.zeros_like(q[:, :half])
+                q_lo, q_hi = q[:, :half], q[:, half:]
+
+                def dot_t(a, bmat):
+                    return jax.lax.dot_general(
+                        a, bmat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+
+                # k_lo[r, c<64] = elem(2r, c);  k_lo[r, c>=64] =
+                # elem(2r+1, c-64);  k_hi the same for elements j+64.
+                s_even = (dot_t(jnp.concatenate([q_lo, zer], 1), k_lo)
+                          + dot_t(jnp.concatenate([q_hi, zer], 1),
+                                  k_hi))
+                s_odd = (dot_t(jnp.concatenate([zer, q_lo], 1), k_lo)
+                         + dot_t(jnp.concatenate([zer, q_hi], 1),
+                                 k_hi))
+                s = jnp.concatenate([s_even, s_odd], 1)
+                # Column c < R is token 2c; column c >= R is token
+                # 2(c-R)+1 (online softmax is column-order invariant).
+                base = jax.lax.broadcasted_iota(
+                    jnp.int32, (group_pad, block_kv), 1)
+                half_r = block_kv // 2
+                cols = (jnp.where(base < half_r, 2 * base,
+                                  2 * (base - half_r) + 1)
+                        + j * block_kv)
+            else:
+                if fold_scales:
+                    if kv_precision in _FP8_MAGIC_EXP:
+                        k = fp8_expand_bits(k, kv_precision).astype(
+                            q.dtype)
+                        v = fp8_expand_bits(v, kv_precision).astype(
+                            q.dtype)
+                    else:   # INT8 values are exact in bf16
+                        k = k.astype(jnp.float32).astype(q.dtype)
+                        v = v.astype(jnp.float32).astype(q.dtype)
+                elif kv_precision is not None:
+                    k = dequant_block(k, k_scale_ref[b, h], kv_precision,
+                                      q.dtype)
+                    v = dequant_block(v, v_scale_ref[b, h], kv_precision,
+                                      q.dtype)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # [group_pad, block_kv]
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (group_pad, block_kv), 1) + j * block_kv
             if softcap2 is not None:
                 s = softcap2 * jnp.tanh(s / softcap2)
             # Tail masking: one compare against the live length (+ one
             # against the window start for sliding-window decode).
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (group_pad, block_kv), 1) + j * block_kv
             live = cols < kv_len
             if has_starts:
                 live = jnp.logical_and(live, cols >= kv_start)
@@ -179,10 +236,36 @@ def _make_decode_kernel(
             p = jnp.exp2(s - m_next[:, :1])
             l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_scr[...] = m_next
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            if nf4_paired:
+                half_r = block_kv // 2
+                u_v = pltpu.bitcast(v, jnp.int8).astype(jnp.int32) & 0xFF
+                v_lo = nf4_codebook_lookup(u_v & 0xF).astype(q.dtype)
+                v_hi = nf4_codebook_lookup(u_v >> 4).astype(q.dtype)
+                p_c = p.astype(v_lo.dtype)
+                p_e, p_o = p_c[:, :half_r], p_c[:, half_r:]
+
+                def dot_n(a, bmat):
+                    return jax.lax.dot_general(
+                        a, bmat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+
+                a_ = dot_n(p_e, v_lo)   # lanes <64: even tokens out[j]
+                b_ = dot_n(p_o, v_lo)   # lanes >=64: odd tokens out[j-64]
+                c_ = dot_n(p_e, v_hi)   # lanes <64: even tokens out[j+64]
+                d_ = dot_n(p_o, v_hi)   # lanes >=64: odd tokens out[j]
+                z64 = jnp.zeros_like(a_[:, :64])
+                lo_part = a_ + jnp.concatenate([b_[:, 64:], z64], 1)
+                hi_part = d_ + jnp.concatenate([z64, c_[:, :64]], 1)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, lo_part.shape, 1)
+                pv = jnp.where(lane < 64, lo_part, hi_part)
+            else:
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
             acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
         if has_lens or has_starts:
@@ -364,6 +447,17 @@ def flash_decode(
     d_payload = head_dim // 2 if nf4_direct else d_pad
     kp = pad_to(k, (batch, kv_heads, c_pad, d_payload))
     vp = pad_to(v, (batch, kv_heads, c_pad, d_payload))
+    # Full-lane NF4 (head_dim = 128 only: its payload is 64 lanes,
+    # the one sub-vreg case; D >= 256 payloads are already >= 128
+    # lanes and D < 128 payloads cannot reach 128 by pairing 2 rows).
+    # The [c_pad, 64] byte payload is CONTIGUOUS, so viewing it as
+    # [c_pad/2, 128] is a free reshape; the kernel untangles the
+    # (token pair, head half) interleave — see the nf4_paired branch.
+    nf4_paired = (nf4_direct and head_dim == 128
+                  and block_kv % 256 == 0 and c_pad % 2 == 0)
+    if nf4_paired:
+        kp = kp.reshape(batch, kv_heads, c_pad // 2, 2 * d_payload)
+        vp = vp.reshape(batch, kv_heads, c_pad // 2, 2 * d_payload)
 
     has_lens = kv_lens is not None
     has_starts = kv_starts is not None
@@ -376,7 +470,7 @@ def flash_decode(
         num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,
         has_lens=has_lens, has_starts=has_starts, out_dtype=q.dtype,
         kv_precision=kv_precision, precision=mxu_precision,
-        logit_softcap=logit_softcap,
+        logit_softcap=logit_softcap, nf4_paired=nf4_paired,
     )
 
     in_specs = []
@@ -405,11 +499,13 @@ def flash_decode(
             return (b, h, jj, 0)
         return (b, h, j, 0)
 
+    kv_rows = block_kv // 2 if nf4_paired else block_kv
+    kv_lanes = 2 * d_payload if nf4_paired else d_payload
     in_specs.append(pl.BlockSpec(
         (1, 1, group_pad, d_pad),
         lambda b, h, j, *p: (b, h, 0, 0)))
-    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_payload), kv_index))
-    in_specs.append(pl.BlockSpec((1, 1, block_kv, d_payload), kv_index))
+    in_specs.append(pl.BlockSpec((1, 1, kv_rows, kv_lanes), kv_index))
+    in_specs.append(pl.BlockSpec((1, 1, kv_rows, kv_lanes), kv_index))
     inputs += [qg, kp, vp]
     if kv_precision is not None:
         scale_spec = pl.BlockSpec(memory_space=pltpu.SMEM)

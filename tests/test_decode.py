@@ -148,6 +148,36 @@ def test_decode_nf4_via_prefill(rng):
     assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
 
 
+def test_decode_nf4_paired_window_and_lens(rng):
+    """NF4 full-lane paired path (D=128) with kv_starts + variable
+    lens: the paired column permutation (even|odd token groups) must
+    mask both the live-length tail and the pre-window head exactly."""
+    batch, qh, kvh, s, d = 2, 8, 2, 512, 128
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    kq, vq = quantize(k, OperandPrecision.NF4), quantize(
+        v, OperandPrecision.NF4)
+    kv_lens = jnp.asarray([511, 300], jnp.int32)   # odd length too
+    window = 200
+    kv_starts = jnp.maximum(kv_lens - window, 0)
+    o = flash_decode(q, kq, vq, kv_lens=kv_lens, kv_starts=kv_starts,
+                     block_kv=256)
+    kd, vd = dequantize(kq), dequantize(vq)
+    # Golden: mask both ends on the dequantized cache.
+    mask = jnp.logical_and(
+        jnp.arange(s)[None, None, :] < kv_lens[:, None, None],
+        jnp.arange(s)[None, None, :] >= kv_starts[:, None, None])
+    group = qh // kvh
+    kf = jnp.repeat(kd, group, axis=1)
+    vf = jnp.repeat(vd, group, axis=1)
+    logits = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), kf)
+    logits = logits / jnp.sqrt(jnp.float32(d))
+    logits = jnp.where(mask, logits, -jnp.inf)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(logits, -1), vf)
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref))) < 5e-2
+
+
 def test_decode_sliding_window_starts(rng):
     """kv_starts masks positions before the window (Gemma-2 local
     layers at decode time)."""
