@@ -53,6 +53,9 @@ from metal_flash_attention_tpu.utils.shapes import pad_to, round_up
 # Score-tile sublane count: the GQA group pads up to this.
 GROUP_PAD = 8
 
+# Probe override for the tiled residual broadcast (None = on).
+_TILE_BCAST = None
+
 
 def _decode_via_prefill(q, k, v, *, kv_lens, scale, interpret,
                         return_residuals):
@@ -233,7 +236,17 @@ def _make_decode_kernel(
             l_prev = l_scr[...]
             m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next[:, :1])
+            # Full-lane tiled broadcast: a [gp, 1] slice broadcast
+            # lowers poorly in Mosaic (r04 forward-kernel finding,
+            # experiments/r04_perstep_ablation.py); m_scr is already
+            # a full [gp, 128] residual, so tile it across the score
+            # width instead of slicing lane 0.
+            tile_on = _TILE_BCAST if _TILE_BCAST is not None else True
+            if tile_on and s.shape[-1] % MIN_LANES == 0:
+                p = jnp.exp2(
+                    s - jnp.tile(m_next, (1, s.shape[-1] // MIN_LANES)))
+            else:
+                p = jnp.exp2(s - m_next[:, :1])
             l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_scr[...] = m_next
             if nf4_paired:
@@ -266,7 +279,13 @@ def _make_decode_kernel(
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-            acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            d_lanes = acc_scr.shape[-1]
+            tile_on = _TILE_BCAST if _TILE_BCAST is not None else True
+            if tile_on and d_lanes % MIN_LANES == 0:
+                acc_scr[...] = acc_scr[...] * jnp.tile(
+                    alpha, (1, d_lanes // MIN_LANES)) + pv
+            else:
+                acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
         if has_lens or has_starts:
             should = j * block_kv < kv_len
