@@ -89,6 +89,7 @@ def _make_decode_kernel(
     scale: float,
     has_lens: bool,
     has_starts: bool = False,
+    windowed: bool = False,
     out_dtype,
     kv_precision=None,
     precision=None,
@@ -117,6 +118,16 @@ def _make_decode_kernel(
         b = pl.program_id(0)
         h = pl.program_id(1)
         j = pl.program_id(2)
+        # Windowed (span-limited) traversal: the grid covers only
+        # ~max_span/block_kv steps and each program handles block
+        # start_blk(b) + j — so a 1k-token window over a 64-block
+        # cache pays ~2 programs, not 64 mostly-skipped ones (a
+        # skipped step still costs ~59% of a live one; r04's
+        # sink_decode shipped 0.6x of FULL attention because of it).
+        if windowed:
+            blk = starts_ref[b] // block_kv + j
+        else:
+            blk = j
 
         @pl.when(j == 0)
         def _init():
@@ -200,7 +211,7 @@ def _make_decode_kernel(
                 half_r = block_kv // 2
                 cols = (jnp.where(base < half_r, 2 * base,
                                   2 * (base - half_r) + 1)
-                        + j * block_kv)
+                        + blk * block_kv)
             else:
                 if fold_scales:
                     if kv_precision in _FP8_MAGIC_EXP:
@@ -222,7 +233,7 @@ def _make_decode_kernel(
                     precision=precision,
                 )  # [group_pad, block_kv]
                 cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (group_pad, block_kv), 1) + j * block_kv
+                    jnp.int32, (group_pad, block_kv), 1) + blk * block_kv
             if softcap2 is not None:
                 s = softcap2 * jnp.tanh(s / softcap2)
             # Tail masking: one compare against the live length (+ one
@@ -288,10 +299,10 @@ def _make_decode_kernel(
                 acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
         if has_lens or has_starts:
-            should = j * block_kv < kv_len
+            should = blk * block_kv < kv_len
             if has_starts:
                 should = jnp.logical_and(
-                    should, (j + 1) * block_kv > kv_start)
+                    should, (blk + 1) * block_kv > kv_start)
             pl.when(should)(body)
         else:
             body()
@@ -325,6 +336,7 @@ def flash_decode(
     *,
     kv_lens: Optional[jax.Array] = None,
     kv_starts: Optional[jax.Array] = None,
+    max_span: Optional[int] = None,
     scale: Optional[float] = None,
     logit_softcap: Optional[float] = None,
     block_kv: Optional[int] = None,
@@ -345,6 +357,17 @@ def flash_decode(
             sliding-window decode (Gemma-2-style local layers): pass
             max(0, kv_lens - window).  Blocks before the start are
             skipped like dead-tail blocks.
+        max_span: optional STATIC bound on ``kv_lens - kv_starts``
+            (e.g. the window size).  With it the grid walks only
+            ``ceil(max_span/block_kv) + 1`` blocks per row, offset to
+            each row's start block — instead of the full cache's
+            block count with the pre-window steps skipped (a skipped
+            Pallas step still costs ~59% of a live one, so a 1k
+            window over S=8192 would otherwise read ~0.6x of FULL
+            attention's wall-clock; see `sink_decode`).  Rows where
+            the live span exceeds ``max_span`` would silently drop
+            their tail, so it is asserted against window semantics
+            by the callers (requires ``kv_starts`` and ``kv_lens``).
         logit_softcap: Gemma-2-style cap * tanh(s / cap) on the
             attention logits.
 
@@ -362,7 +385,7 @@ def flash_decode(
                           else x)
         out = flash_decode(
             cast(q), cast(k), cast(v), kv_lens=kv_lens,
-            kv_starts=kv_starts, scale=scale,
+            kv_starts=kv_starts, max_span=max_span, scale=scale,
             logit_softcap=logit_softcap, block_kv=block_kv,
             interpret=interpret, return_residuals=return_residuals)
         if return_residuals:
@@ -450,6 +473,12 @@ def flash_decode(
             # 2048 -> 8192 (b=8, 8 KV heads, D=128, S=8192 on v5e).
             block_kv = 8192 if kv_precision is not None else 2048
 
+    windowed = max_span is not None
+    if windowed:
+        assert kv_starts is not None and kv_lens is not None, (
+            "max_span requires kv_starts and kv_lens")
+        # A block wider than the span wastes DMA on dead rows.
+        block_kv = min(block_kv, round_up(max_span, MIN_LANES))
     if head_dim < MIN_LANES and head_dim % 8 == 0:
         d_pad = head_dim
     else:
@@ -457,6 +486,10 @@ def flash_decode(
     block_kv = max(min(block_kv, round_up(max_seq, MIN_LANES)), MIN_LANES)
     c_pad = round_up(max_seq, block_kv)
     num_kv_blocks = c_pad // block_kv
+    if windowed:
+        # +1 block covers a start that is not block-aligned.
+        num_kv_blocks = min(
+            -(-max_span // block_kv) + 1, num_kv_blocks)
 
     # [batch, q_heads, d] -> [batch, kv_heads, group_pad, d_pad]
     qg = q.reshape(batch, kv_heads, group, head_dim)
@@ -487,7 +520,8 @@ def flash_decode(
     kernel = _make_decode_kernel(
         group=group, group_pad=group_pad, block_kv=block_kv,
         num_kv_blocks=num_kv_blocks, kv_len_static=max_seq, scale=scale,
-        has_lens=has_lens, has_starts=has_starts, out_dtype=q.dtype,
+        has_lens=has_lens, has_starts=has_starts, windowed=windowed,
+        out_dtype=q.dtype,
         kv_precision=kv_precision, precision=mxu_precision,
         logit_softcap=logit_softcap, nf4_paired=nf4_paired,
     )
@@ -505,15 +539,20 @@ def flash_decode(
     def kv_index(b, h, j, *prefetch):
         jj = j
         it = iter(prefetch)
+        lens = next(it) if has_lens else None
+        starts = next(it) if has_starts else None
+        if windowed:
+            # Span-limited grid: program j handles the row's
+            # (start_block + j)th cache block; dead tail steps clamp
+            # back onto the last live block.
+            jj = starts[b] // block_kv + j
+        elif has_starts:
+            # Clamp dead leading (pre-window) steps forward.
+            jj = jnp.maximum(jj, starts[b] // block_kv)
         if has_lens:
-            lens = next(it)
             # Clamp dead tail steps onto the last live block.
             last = jnp.maximum(pl.cdiv(lens[b], block_kv) - 1, 0)
             jj = jnp.minimum(jj, last)
-        if has_starts:
-            starts = next(it)
-            # Clamp dead leading (pre-window) steps forward.
-            jj = jnp.maximum(jj, starts[b] // block_kv)
         if has_lens or has_starts:
             return (b, h, jj, 0)
         return (b, h, j, 0)

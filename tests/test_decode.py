@@ -287,3 +287,32 @@ def test_sink_decode_matches_masked_reference():
     ref2 = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(s2, -1), vr)
     err2 = float(jnp.max(jnp.abs(o2 - ref2)))
     assert err2 < 2e-4, err2
+
+
+def test_decode_windowed_span_grid(rng):
+    """max_span: the span-limited grid (blocks offset per-row to the
+    window start) matches the full-grid kv_starts path exactly —
+    misaligned starts, rows whose live span is shorter than the
+    window, and a row starting at 0."""
+    batch, qh, kvh, s, d = 4, 4, 2, 1024, 64
+    q = jnp.asarray(rng.standard_normal((batch, qh, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((batch, kvh, s, d)), jnp.float32)
+    window = 300
+    kv_lens = jnp.asarray([1024, 777, 301, 130], jnp.int32)
+    kv_starts = jnp.maximum(kv_lens - window, 0)
+    o = flash_decode(q, k, v, kv_lens=kv_lens, kv_starts=kv_starts,
+                     max_span=window, block_kv=256)
+    o_full_grid = flash_decode(q, k, v, kv_lens=kv_lens,
+                               kv_starts=kv_starts, block_kv=256)
+    assert float(jnp.max(jnp.abs(o - o_full_grid))) < fp32_kernel_tol()
+
+    cols = jnp.arange(s)
+    live = ((cols[None, :] < kv_lens[:, None])
+            & (cols[None, :] >= kv_starts[:, None]))
+    kk = jnp.repeat(k, qh // kvh, axis=1)
+    vv = jnp.repeat(v, qh // kvh, axis=1)
+    sc = jnp.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    sc = jnp.where(live[:, None, :], sc, -jnp.inf)
+    o_ref = jnp.einsum("bhs,bhsd->bhd", jax.nn.softmax(sc, axis=-1), vv)
+    assert float(jnp.max(jnp.abs(o - o_ref))) < fp32_kernel_tol()

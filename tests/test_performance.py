@@ -325,3 +325,18 @@ def test_transposed_layout_cost(floor):
                          dispatch_floor=floor)
     overhead = alt / base - 1.0
     assert overhead < 0.20, f"swapaxes relayout overhead {overhead:.1%}"
+
+def test_sink_decode_faster_than_full_guard(floor):
+    """Sink decode reads sink+window KV rows where full reads all S
+    (8x fewer bytes at the bench config), so it must be decisively
+    faster — r04 shipped it at 0.6x of full because both partials
+    walked the full S/block grid with skipped-but-not-free steps.
+    Redesigned (sliced one-block sink partial, max_span window grid)
+    it measured 2.53x full on v5e (r05 probe); guard at 1.5x to
+    absorb session drift."""
+    import bench
+
+    sink_tok, full_tok = bench.bench_sink(floor=floor)
+    assert sink_tok > 1.5 * full_tok, (
+        f"sink decode regressed: {sink_tok:.0f} vs full "
+        f"{full_tok:.0f} tok/s")

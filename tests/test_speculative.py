@@ -234,3 +234,32 @@ def test_model_draft_fn_weak_drafter_still_greedy(setup):
         max_new_tokens=10)
     assert out[:, :prompt.shape[1] + 10].tolist() == \
         greedy[:, :prompt.shape[1] + 10].tolist()
+
+
+def test_speculative_burst_self_draft_equals_greedy(setup):
+    """In-jit burst rounds (`speculative_generate_model`) with the
+    target as its own drafter: output == the dense greedy stream, all
+    round machinery (drafter sync, ragged consume, emission scatter)
+    on device."""
+    cfg, params, prompt, greedy = setup
+    out = serving.speculative_generate_model(
+        params, prompt, cfg, draft_params=params, draft_cfg=cfg,
+        draft_len=3, max_new_tokens=12, rounds_per_dispatch=3)
+    assert out[:, :greedy.shape[1]].tolist() == greedy.tolist()
+
+
+def test_speculative_burst_draft_invariance(setup):
+    """Burst output is drafter-invariant (the verify chunk's logits at
+    accepted positions depend only on the verified prefix): a weak
+    1-layer drafter and the self-drafter must emit identical
+    sequences, ragged acceptance and all."""
+    cfg, params, prompt, _ = setup
+    weak_cfg = type(cfg).tiny(n_layers=1)
+    weak = llama.init_params(jax.random.PRNGKey(9), weak_cfg)
+    ref = serving.speculative_generate_model(
+        params, prompt, cfg, draft_params=params, draft_cfg=cfg,
+        draft_len=2, max_new_tokens=16, rounds_per_dispatch=4)
+    out = serving.speculative_generate_model(
+        params, prompt, cfg, draft_params=weak, draft_cfg=weak_cfg,
+        draft_len=2, max_new_tokens=16, rounds_per_dispatch=4)
+    assert out.tolist() == ref.tolist()
