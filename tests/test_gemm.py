@@ -136,3 +136,22 @@ def test_gemm_descriptor_cache_roundtrip(tmp_path, monkeypatch):
     cache.insert(d.cache_key(), (256, 384))
     cfg = d.kernel_config()
     assert (cfg.block_m, cfg.block_n) == (256, 384)
+
+
+def test_gemm_chain_matches_reference():
+    """gemm_chain == the unrolled dependent product (the small-GEMM
+    occupancy API anchor; perf story in its docstring + the
+    gemm_bf16_512_chain8 bench row)."""
+    import numpy as np
+
+    from metal_flash_attention_tpu.ops.gemm import gemm, gemm_chain
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+    ws = [jnp.asarray(rng.standard_normal((96, 96)), jnp.float32)
+          for _ in range(3)]
+    out = gemm_chain(x, ws)
+    ref = x
+    for w in ws:
+        ref = gemm(ref, w)
+    assert jnp.allclose(out, ref), "chain diverges from unrolled gemms"
