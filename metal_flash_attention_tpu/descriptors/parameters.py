@@ -162,6 +162,19 @@ _TABLES: dict[str, dict[str, dict[str, tuple[ParameterRow, ...]]]] = {
 }
 
 
+# Primal-only override experiment (VERDICT r4 next #5) — RETIRED with
+# the evidence recorded: fwd D=256 (1024, 2048) measured +0.1/+3.5pp
+# over the table's (512, 2048) in two r05 probe windows and compiled
+# there, but a third compile of the SAME single-output primal config
+# OOM'd scoped VMEM (16.27M vs the 16.00M hard limit — borderline
+# configs compile nondeterministically with surrounding HLO), vindicating
+# the conservative clamp_to_vmem model.  The D=256 bench-row deficit
+# (74.1% recorded vs 82-84% probed, r04) was sampling noise across
+# intra-session performance windows, fixed by bench.py's two-pass
+# max-per-row sampling — not a block-choice problem.  See
+# docs/session_drift.md (r05 addendum).
+
+
 def tpu_generation() -> str:
     """Detect the TPU generation (reference analog: device-name parsing,
     `GEMMDescriptor.swift:133-168`)."""
@@ -202,8 +215,8 @@ def select_block_sizes(
             return clamp_to_vmem(kernel_type, tuned[0], tuned[1],
                                  head_dim, dtype)
     regime = "fp32" if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else "mixed"
-    gens = _TABLES[kernel_type][regime]
     gen = generation or tpu_generation()
+    gens = _TABLES[kernel_type][regime]
     rows = gens.get(gen)
     # The "default" rows ARE the TUNED_GENERATION measurements; only a
     # generation that truly inherits foreign rows counts as unmeasured

@@ -740,6 +740,40 @@ def _speculative_burst_rounds(params, cfg, draft_params, draft_cfg,
     return carry
 
 
+@functools.lru_cache(maxsize=None)
+def _spec_burst_jit(draft_len: int, rounds: int, max_new_tokens: int):
+    """Cached jit wrapper for the burst rounds: a fresh `jax.jit`
+    object per generate call would re-trace and re-compile the whole
+    burst program every time (measured 37 tok/s vs 2,000+ with the
+    cache on the bench model — the compile, not the decode, was the
+    wall-clock)."""
+    return jax.jit(
+        functools.partial(_speculative_burst_rounds,
+                          draft_len=draft_len, rounds=rounds,
+                          max_new_tokens=max_new_tokens),
+        static_argnames=("cfg", "draft_cfg"),
+        donate_argnums=(4, 5))
+
+
+_CHUNK_STEP_JIT = None
+_PREFILL_JIT = None
+
+
+def _chunk_step_jit():
+    global _CHUNK_STEP_JIT
+    if _CHUNK_STEP_JIT is None:
+        _CHUNK_STEP_JIT = jax.jit(paged_chunk_step,
+                                  static_argnames=("cfg",))
+    return _CHUNK_STEP_JIT
+
+
+def _prefill_jit():
+    global _PREFILL_JIT
+    if _PREFILL_JIT is None:
+        _PREFILL_JIT = jax.jit(prefill, static_argnames=("cfg",))
+    return _PREFILL_JIT
+
+
 def speculative_generate_model(params: dict, prompt: jax.Array,
                                cfg: llama.LlamaConfig, *,
                                draft_params: dict, draft_cfg,
@@ -766,7 +800,7 @@ def speculative_generate_model(params: dict, prompt: jax.Array,
     # Drafter transiently writes kd-1 decode rows past its chunk.
     d_cache = init_paged_model_cache(draft_cfg, b, budget + kd,
                                      page_size=page_size)
-    chunk = jax.jit(paged_chunk_step, static_argnames=("cfg",))
+    chunk = _chunk_step_jit()
     logits = None
     for i in range(0, s, page_size):
         logits, t_cache = chunk(params, prompt[:, i:i + page_size],
@@ -782,12 +816,7 @@ def speculative_generate_model(params: dict, prompt: jax.Array,
     gained = jnp.zeros((b, kd + 1), jnp.int32).at[:, 0].set(last)
     n_gain = jnp.ones((b,), jnp.int32)
 
-    burst = jax.jit(
-        functools.partial(_speculative_burst_rounds, draft_len=kd,
-                          rounds=rounds_per_dispatch,
-                          max_new_tokens=max_new_tokens),
-        static_argnames=("cfg", "draft_cfg"),
-        donate_argnums=(4, 5))
+    burst = _spec_burst_jit(kd, rounds_per_dispatch, max_new_tokens)
     while int(count.min()) < max_new_tokens:
         gained, n_gain, last, t_cache, d_cache, buf, count = burst(
             params, cfg, draft_params, draft_cfg, t_cache, d_cache,
@@ -1364,6 +1393,45 @@ def _beam_step(params, cfg, cache: KVCache, tokens, scores, finished,
     return cache, tok.reshape(b_k), new_scores, new_finished, parent
 
 
+@functools.lru_cache(maxsize=None)
+def _beam_scan_jit(num_beams: int, eos_token: int,
+                   max_new_tokens: int):
+    """Cached jit for the whole beam decode loop (same rationale as
+    `_spec_burst_jit`: a per-call jax.jit wrapper re-compiles the
+    scan program on every beam_generate call)."""
+    k = num_beams
+    eos = eos_token
+
+    def run(params, cfg, cache, tokens, scores, finished, seqs,
+            gen_len):
+        b = scores.shape[0]
+
+        def body(carry, t):
+            cache, tokens, scores, finished, seqs, gen_len = carry
+            cache, tokens, scores, new_finished, parent = _beam_step(
+                params, cfg, cache, tokens, scores, finished,
+                num_beams=k, eos_token=eos)
+            # Reorder the on-device history to follow parents.
+            seqs = jnp.take_along_axis(seqs, parent[:, :, None],
+                                       axis=1)
+            gen_len = jnp.take_along_axis(gen_len, parent, axis=1)
+            was_finished = jnp.take_along_axis(finished, parent,
+                                               axis=1)
+            col = jnp.where(was_finished, eos, tokens.reshape(b, k))
+            seqs = jax.lax.dynamic_update_index_in_dim(seqs, col, t, 2)
+            just = new_finished & ~was_finished
+            gen_len = jnp.where(just, t + 1, gen_len)
+            return (cache, tokens, scores, new_finished, seqs,
+                    gen_len), None
+
+        carry = (cache, tokens, scores, finished, seqs, gen_len)
+        carry, _ = jax.lax.scan(body, carry,
+                                jnp.arange(1, max_new_tokens))
+        return carry
+
+    return jax.jit(run, static_argnames=("cfg",), donate_argnums=(2,))
+
+
 def beam_generate(params: dict, prompt: jax.Array,
                   cfg: llama.LlamaConfig, *, num_beams: int,
                   max_new_tokens: int, eos_token: Optional[int] = None,
@@ -1396,8 +1464,7 @@ def beam_generate(params: dict, prompt: jax.Array,
     eos = -1 if eos_token is None else int(eos_token)
     max_seq = max_seq or (s + max_new_tokens)
     cache = init_cache(cfg, b, max_seq)
-    logits, cache = jax.jit(prefill, static_argnames=("cfg",))(
-        params, prompt, cfg, cache)
+    logits, cache = _prefill_jit()(params, prompt, cfg, cache)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
     scores, tok0 = jax.lax.top_k(logp, k)             # [b, k]
     tok0 = tok0.astype(jnp.int32)
@@ -1410,32 +1477,10 @@ def beam_generate(params: dict, prompt: jax.Array,
     seqs0 = seqs0.at[:, :, 0].set(tok0)
     gen_len0 = jnp.where(finished0, 1, max_new_tokens).astype(jnp.int32)
 
-    def body(carry, t):
-        cache, tokens, scores, finished, seqs, gen_len = carry
-        cache, tokens, scores, new_finished, parent = _beam_step(
-            params, cfg, cache, tokens, scores, finished,
-            num_beams=k, eos_token=eos)
-        # Reorder the on-device sequence history to follow parents.
-        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
-        gen_len = jnp.take_along_axis(gen_len, parent, axis=1)
-        was_finished = jnp.take_along_axis(finished, parent, axis=1)
-        col = jnp.where(was_finished, eos, tokens.reshape(b, k))
-        seqs = jax.lax.dynamic_update_index_in_dim(seqs, col, t, 2)
-        just = new_finished & ~was_finished
-        gen_len = jnp.where(just, t + 1, gen_len)
-        return (cache, tokens, scores, new_finished, seqs,
-                gen_len), None
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def scan_steps(cache, tokens, scores, finished, seqs, gen_len):
-        carry = (cache, tokens, scores, finished, seqs, gen_len)
-        carry, _ = jax.lax.scan(body, carry,
-                                jnp.arange(1, max_new_tokens))
-        return carry
-
+    scan_steps = _beam_scan_jit(k, eos, max_new_tokens)
     (_, _, scores, _, seqs, gen_len) = scan_steps(
-        cache, tok0.reshape(b * k), scores, finished0, seqs0,
-        gen_len0)
+        params, cfg, cache, tok0.reshape(b * k), scores, finished0,
+        seqs0, gen_len0)
 
     final = np.asarray(scores, np.float32) / np.maximum(
         np.asarray(gen_len), 1).astype(np.float32) ** length_penalty

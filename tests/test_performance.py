@@ -256,15 +256,31 @@ def test_speculative_machinery_guard(floor):
     the target as its own drafter (acceptance ~100%, so the round
     structure — chunked verify, ragged consume, drafter sync — is
     what's measured, not draft quality), wall tok/s must stay within
-    a bounded factor of the plain greedy paged loop.  A broken round
-    (re-prefill, cache desync forcing retries, per-round recompile)
-    collapses this by >3x."""
+    a bounded factor of the plain greedy paged loop.  The r05 in-jit
+    burst rounds measured 1.19x PLAIN on v5e (1,078 vs 908 tok/s —
+    the feature finally pays for itself); guard at 0.6x to absorb
+    session swings.  A broken round (re-prefill, cache desync,
+    per-call re-jit — the r05 probe caught exactly that at 0.04x)
+    collapses far below this."""
     import bench
 
     spec_tok, plain_tok = bench.bench_speculative(floor=floor)
-    assert spec_tok > 0.45 * plain_tok, (
+    assert spec_tok > 0.6 * plain_tok, (
         f"speculative machinery regressed: {spec_tok:.0f} vs plain "
         f"{plain_tok:.0f} tok/s")
+
+
+def test_beam_machinery_guard(floor):
+    """Beam search over batch*beams rows vs plain greedy decode over
+    the SAME rows: the in-jit scan (history parent-gathered on
+    device) measured 0.92x plain on v5e (1,553 vs 1,695 rows*tok/s;
+    the r04 host loop read 0.024x).  Guard at 0.4x."""
+    import bench
+
+    beam, plain = bench.bench_beam(floor=floor)
+    assert beam > 0.4 * plain, (
+        f"beam machinery regressed: {beam:.0f} vs plain "
+        f"{plain:.0f} rows*tok/s")
 
 
 def test_gemm_throughput_guard(floor):

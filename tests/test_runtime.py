@@ -552,3 +552,20 @@ class TestPageAllocator:
             t.join()
         assert not errors
         assert a.free_pages == 256
+
+
+def test_forward_d256_table_row_is_clamp_safe():
+    """The fwd D=256 row must stay within the conservative VMEM model
+    (the (1024, 2048) candidate measured ~2pp faster but OOM'd scoped
+    VMEM on a third compile — parameters.py retirement note; this
+    guards against re-introducing a borderline row)."""
+    from metal_flash_attention_tpu.descriptors.parameters import (
+        TUNED_GENERATION,
+        clamp_to_vmem,
+        select_block_sizes,
+    )
+
+    row = select_block_sizes("forward", 256, jnp.bfloat16,
+                             generation=TUNED_GENERATION)
+    assert row == (512, 2048), row
+    assert clamp_to_vmem("forward", *row, 256, jnp.bfloat16) == row
