@@ -56,11 +56,18 @@ class KernelConfigCache:
         self._configs: dict[str, tuple[int, int]] = {}
         self._store_path = store_path or _default_store_path()
         self._native = None
-        try:
-            from metal_flash_attention_tpu.native import config_store
-            self._native = config_store.ConfigStore.get()
-        except Exception:
-            self._native = None
+        # The process-wide native (C++) level backs only the DEFAULT
+        # store: an instance built on an explicit path is a private,
+        # isolated cache (tests, embedders) — sharing the native
+        # singleton there leaked user-level entries into fresh
+        # tmp-path instances (order-dependent test failure once the
+        # chip autotune had populated ~/.cache).
+        if store_path is None:
+            try:
+                from metal_flash_attention_tpu.native import config_store
+                self._native = config_store.ConfigStore.get()
+            except Exception:
+                self._native = None
         self._load()
 
     @classmethod
