@@ -184,11 +184,27 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                        d_pad, scale, out_dtype, pages_per_chunk,
                        precision=None, kv_precision=None,
                        has_starts=False, q_chunk=None,
-                       logit_softcap=None, window_size=None):
-    """Grid = (batch, kv_heads); the page walk happens inside one
-    kernel invocation: each chunk issues ``pages_per_chunk`` parallel page
-    DMAs into a contiguous scratch strip (double-buffered), then runs
-    one online-softmax update over the whole strip.
+                       logit_softcap=None, window_size=None,
+                       heads_per_chunk=1):
+    """Grid = (batch, kv_heads / heads_per_chunk); the page walk
+    happens inside one kernel invocation: each chunk issues
+    ``pages_per_chunk`` parallel page DMAs into a contiguous scratch
+    strip (double-buffered), then runs one online-softmax update over
+    the whole strip.
+
+    ``heads_per_chunk`` (H): each page DMA copies H adjacent KV heads
+    in ONE descriptor ([H, page_rows, d] — heads are contiguous in the
+    pool layout), and the program computes all H heads' updates per
+    chunk.  This exists because per-descriptor overhead dominates
+    small-page transfers: a 16 KB INT8 page costs ~20 ns of wire time
+    — comparable to the descriptor processing itself — which measured
+    paged INT8 decode at 0.68x of dense while bf16 (32 KB pages) read
+    0.89x (r05 probe: page-table order sequential vs shuffled was
+    IDENTICAL, eliminating locality; tok/s rose monotonically with
+    pages-per-chunk, i.e. with per-wait amortization).  H-wide
+    descriptors cut the descriptor count H-fold at the cost of H-fold
+    scratch, so H trades against pages-per-chunk under the VMEM
+    budget.
 
     Quantized pools (``kv_precision`` INT8/FP8): pages are DMA'd in
     their storage dtype and only *cast* to the compute dtype — the
@@ -210,6 +226,7 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
     # the same curve is cap2 * tanh(s2 / cap2), cap2 = cap * log2(e).
     softcap2 = logit_softcap * LOG2E if logit_softcap else None
     G = pages_per_chunk
+    H = heads_per_chunk
     chunk = G * page_size
     fp8_magic = (2.0 ** _FP8_MAGIC_EXP[kv_precision]
                  if kv_precision in _FP8_MAGIC_EXP else 1.0)
@@ -227,8 +244,8 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         (q_ref, k_hbm, v_hbm, o_ref, l_ref,
          k_scr, v_scr, sems) = it
         b = pl.program_id(0)
-        h = pl.program_id(1)
-        n_heads = pl.num_programs(1)
+        h = pl.program_id(1)          # head GROUP index (H heads each)
+        n_heads = pl.num_programs(1)  # number of head groups
         kv_len = lens_ref[b]
         n_pages = pl.cdiv(kv_len, page_size)
         n_chunks = pl.cdiv(n_pages, G)
@@ -251,13 +268,15 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
         c0 = first_chunk(b)
         kv_start = starts_ref[b] if has_starts else None
 
-        q = q_ref[0, 0]
+        q = q_ref[0]                         # [H, rows_pad, d_pad]
         q = (q.astype(jnp.float32) * scale_log2e).astype(q.dtype)
 
         def page_dmas(c, slot, bb=None, hh=None):
             """The G page copies of chunk c for program (bb, hh)
             (overshooting page indices clamp onto the sequence's last
-            live page; their columns are masked)."""
+            live page; their columns are masked).  One descriptor per
+            page per pool moves all H heads ([H, page_rows, d] — the
+            heads are adjacent in the pool layout)."""
             bb = b if bb is None else bb
             hh = h if hh is None else hh
             lp = jnp.maximum(pl.cdiv(lens_ref[bb], page_size) - 1, 0)
@@ -266,12 +285,12 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                 j = jnp.minimum(c * G + g, lp)
                 page = table_ref[bb, j]
                 k_dmas.append(pltpu.make_async_copy(
-                    k_hbm.at[page, hh],
-                    k_scr.at[slot, pl.ds(g * page_rows, page_rows)],
+                    k_hbm.at[page, pl.ds(hh * H, H)],
+                    k_scr.at[slot, :, pl.ds(g * page_rows, page_rows)],
                     sems.at[slot, g, 0]))
                 v_dmas.append(pltpu.make_async_copy(
-                    v_hbm.at[page, hh],
-                    v_scr.at[slot, pl.ds(g * page_rows, page_rows)],
+                    v_hbm.at[page, pl.ds(hh * H, H)],
+                    v_scr.at[slot, :, pl.ds(g * page_rows, page_rows)],
                     sems.at[slot, g, 1]))
             # K first: the score matmul needs only K, so V transfers
             # hide under it (waited separately in the body).
@@ -297,15 +316,16 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
 
         is_nf4 = kv_precision is OperandPrecision.NF4
 
-        def scale_row(scales_ref, c, width=page_size, tile=1):
-            """Per-column dequant scale of chunk c (page g's scale
-            replicated over ``width`` columns, the whole row repeated
-            ``tile`` times for NF4's two nibble planes)."""
+        def scale_row(scales_ref, c, habs, width=page_size, tile=1):
+            """Per-column dequant scale of chunk c for absolute head
+            ``habs`` (page g's scale replicated over ``width`` columns,
+            the whole row repeated ``tile`` times for NF4's two nibble
+            planes)."""
             parts = []
             for g in range(G):
                 j = jnp.minimum(c * G + g, last_page)
                 page = table_ref[b, j]
-                val = scales_ref[page, h] * fp8_magic
+                val = scales_ref[page, habs] * fp8_magic
                 parts.append(jnp.broadcast_to(val, (1, width)))
             return jnp.concatenate(parts * tile, axis=1).astype(
                 jnp.float32)
@@ -331,9 +351,9 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
             return jnp.concatenate(
                 [base, base + page_size // 2], axis=1) + c * chunk
 
-        def qk(kvals):
+        def qk(qh, kvals):
             return jax.lax.dot_general(
-                q, kvals, (((1,), (1,)), ((), ())),
+                qh, kvals, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
         def pv_dot(p, vvals):
@@ -341,36 +361,9 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                 p.astype(vvals.dtype), vvals, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
-        def body(c, carry):
-            m_prev, l_prev, acc = carry
-            # Slot parity counts from the first *live* chunk (c0 lands
-            # in slot 0, matching the predecessor-issued gather).
-            slot = jax.lax.rem(c - c0, 2)
-
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                for dma in page_dmas(c + 1, jax.lax.rem(c + 1 - c0, 2)):
-                    dma.start()
-
-            dmas = page_dmas(c, slot)
-            for dma in dmas[:G]:        # K pages
-                dma.wait()
-            if is_nf4:
-                k_lo, k_hi = nf4_pair(k_scr[slot])
-                s = jnp.concatenate([qk(k_lo), qk(k_hi)], axis=1)
-                s = s * scale_row(k_scales_ref, c, width=page_rows,
-                                  tile=2)
-                cols = nf4_cols(c)
-            else:
-                s = qk(expand(k_scr[slot]))     # [group_pad, chunk]
-                if kv_precision is not None:
-                    s = s * scale_row(k_scales_ref, c)
-                cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (group_pad, chunk), 1) + c * chunk
-            if softcap2 is not None:
-                # After the dequant column scale: softcap is nonlinear
-                # and must see fully-scaled logits.
-                s = softcap2 * jnp.tanh(s / softcap2)
+        # The live-column mask is head-independent — build it once per
+        # chunk and share it across the H per-head updates.
+        def live_mask(cols):
             live = cols < kv_len
             if has_starts:
                 live = jnp.logical_and(live, cols >= kv_start)
@@ -388,30 +381,84 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
                 # Decode: the single query sits at kv_len - 1.
                 live = jnp.logical_and(
                     live, cols >= kv_len - window_size)
-            s = jnp.where(live, s, MASK_VALUE)
-            m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next[:, :1])
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            if is_nf4:
-                p = p * scale_row(v_scales_ref, c, width=page_rows,
-                                  tile=2)
-            elif kv_precision is not None:
-                p = p * scale_row(v_scales_ref, c)
-            for dma in dmas[G:]:        # V pages arrive under the above
+            return live
+
+        def body(c, carry):
+            ms, ls, accs = carry
+            # Slot parity counts from the first *live* chunk (c0 lands
+            # in slot 0, matching the predecessor-issued gather).
+            slot = jax.lax.rem(c - c0, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for dma in page_dmas(c + 1, jax.lax.rem(c + 1 - c0, 2)):
+                    dma.start()
+
+            dmas = page_dmas(c, slot)
+            for dma in dmas[:G]:        # K pages
                 dma.wait()
             if is_nf4:
-                v_lo, v_hi = nf4_pair(v_scr[slot])
-                w = G * page_rows
-                pv = pv_dot(p[:, :w], v_lo) + pv_dot(p[:, w:], v_hi)
+                cols = nf4_cols(c)
             else:
-                pv = pv_dot(p, expand(v_scr[slot]))
-            return m_next, l_next, acc * alpha[:, :1] + pv
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (group_pad, chunk), 1) + c * chunk
+            live = live_mask(cols)
+            waited_v = False
+            ms2, ls2, accs2 = [], [], []
+            for hh in range(H):
+                habs = h * H + hh
+                m_prev, l_prev, acc = ms[hh], ls[hh], accs[hh]
+                qh = q[hh]
+                if is_nf4:
+                    k_lo, k_hi = nf4_pair(k_scr[slot, hh])
+                    s = jnp.concatenate([qk(qh, k_lo), qk(qh, k_hi)],
+                                        axis=1)
+                    s = s * scale_row(k_scales_ref, c, habs,
+                                      width=page_rows, tile=2)
+                else:
+                    s = qk(qh, expand(k_scr[slot, hh]))
+                    if kv_precision is not None:
+                        s = s * scale_row(k_scales_ref, c, habs)
+                if softcap2 is not None:
+                    # After the dequant column scale: softcap is
+                    # nonlinear and must see fully-scaled logits.
+                    s = softcap2 * jnp.tanh(s / softcap2)
+                s = jnp.where(live, s, MASK_VALUE)
+                m_next = jnp.maximum(
+                    m_prev, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s - m_next[:, :1])
+                l_next = alpha * l_prev + jnp.sum(p, axis=1,
+                                                  keepdims=True)
+                if is_nf4:
+                    p = p * scale_row(v_scales_ref, c, habs,
+                                      width=page_rows, tile=2)
+                elif kv_precision is not None:
+                    p = p * scale_row(v_scales_ref, c, habs)
+                if not waited_v:
+                    # V pages arrive under the first head's softmax.
+                    for dma in dmas[G:]:
+                        dma.wait()
+                    waited_v = True
+                if is_nf4:
+                    v_lo, v_hi = nf4_pair(v_scr[slot, hh])
+                    w = G * page_rows
+                    pv = (pv_dot(p[:, :w], v_lo)
+                          + pv_dot(p[:, w:], v_hi))
+                else:
+                    pv = pv_dot(p, expand(v_scr[slot, hh]))
+                ms2.append(m_next)
+                ls2.append(l_next)
+                accs2.append(acc * alpha[:, :1] + pv)
+            return tuple(ms2), tuple(ls2), tuple(accs2)
 
         m0 = jnp.full((group_pad, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((group_pad, 1), jnp.float32)
         acc0 = jnp.zeros((group_pad, d_pad), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(c0, n_chunks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(
+            c0, n_chunks, body,
+            (tuple(m0 for _ in range(H)), tuple(l0 for _ in range(H)),
+             tuple(acc0 for _ in range(H))))
 
         # Issue the successor program's first chunk before exiting
         # (slot 0 is idle: every in-flight DMA has been waited).
@@ -427,19 +474,21 @@ def _make_paged_kernel(*, group, group_pad, page_size, page_rows,
             for dma in page_dmas(c0_2, 0, bb=b2, hh=h2):
                 dma.start()
 
-        safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc / safe_l).astype(out_dtype)
-        lse2 = jnp.where(l[:, 0] > 0.0,
-                         m[:, 0] + jnp.log2(l[:, 0]), -jnp.inf)
-        l_ref[0, 0] = jnp.broadcast_to(
-            (lse2 * LN2)[None, :], l_ref.shape[2:])
+        for hh in range(H):
+            mh, lh, acch = m[hh], l[hh], acc[hh]
+            safe_l = jnp.where(lh == 0.0, 1.0, lh)
+            o_ref[0, hh] = (acch / safe_l).astype(out_dtype)
+            lse2 = jnp.where(lh[:, 0] > 0.0,
+                             mh[:, 0] + jnp.log2(lh[:, 0]), -jnp.inf)
+            l_ref[0, hh] = jnp.broadcast_to(
+                (lse2 * LN2)[None, :], l_ref.shape[2:])
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "logit_softcap", "window_size", "interpret",
-    "return_residuals", "pages_per_chunk"))
+    "return_residuals", "pages_per_chunk", "heads_per_chunk"))
 def paged_decode(
     q: jax.Array,
     cache: PagedKVCache,
@@ -451,6 +500,7 @@ def paged_decode(
     interpret: Optional[bool] = None,
     return_residuals: bool = False,
     pages_per_chunk: Optional[int] = None,
+    heads_per_chunk: Optional[int] = None,
 ):
     """Decode one token per sequence against a paged KV pool.
 
@@ -467,7 +517,8 @@ def paged_decode(
         q[:, :, None, :], cache, kv_starts=kv_starts, scale=scale,
         logit_softcap=logit_softcap, window_size=window_size,
         interpret=interpret, q_chunk=None,
-        pages_per_chunk=pages_per_chunk)
+        pages_per_chunk=pages_per_chunk,
+        heads_per_chunk=heads_per_chunk)
     o = o[:, :, :group, :head_dim].reshape(batch, q_heads, head_dim)
     if return_residuals:
         lse = lse[:, :, 0, :group].reshape(batch, q_heads)
@@ -519,9 +570,36 @@ def paged_prefill(
     return o
 
 
+def _heads_per_chunk(kv_precision, kv_heads: int, q_chunk,
+                     override=None) -> int:
+    """H heuristic (see the kernel docstring): batch adjacent heads
+    into each page descriptor when per-descriptor overhead matters —
+    i.e. decode over sub-32KB pages.  bf16 decode: 32 KB pages already
+    amortize reasonably (0.89x dense) but still gain from fewer waits;
+    INT8/FP8 (16 KB) gain most.  NF4 stays at 1 (VPU-dequant-bound —
+    descriptor overhead is hidden under the codebook lookups, and the
+    per-head nibble code unrolled H-fold inflates compile time for
+    nothing).  Prefill keeps H=1: its wide [rows, chunk] score tiles
+    own the VMEM budget.  v5e sweep (experiments/r05_paged_h_probe.py,
+    b=8/8 KV heads/D=128/S=8192, shuffled 128-row pages): INT8
+    28.6k -> 38.7k tok/s going H=1 -> 8 (0.88x dense, from 0.68x),
+    FP8 27.4k -> 37.2k, bf16 20.0k -> 21.7k (0.98x dense); H=8 wins
+    at every precision, with the VMEM clamp shrinking the chunk width
+    to fit."""
+    if override is not None:
+        h = override
+    elif q_chunk is not None or kv_precision is OperandPrecision.NF4:
+        h = 1
+    else:
+        h = 8
+    while kv_heads % h:
+        h -= 1
+    return max(h, 1)
+
+
 def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
                      logit_softcap=None, window_size=None,
-                     pages_per_chunk=None):
+                     pages_per_chunk=None, heads_per_chunk=None):
     """Shared driver: q [batch, q_heads, q_tokens, head_dim] packed as
     [batch, kv_heads, group * q_tokens, d] rows; returns padded
     (o, lse, group)."""
@@ -590,13 +668,31 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
         while (chunk_pages > 1
                and 2 * rows_pad * chunk_pages * page_size * 4 > budget):
             chunk_pages //= 2
+    hpc = _heads_per_chunk(kv_precision, kv_heads, q_chunk,
+                           override=heads_per_chunk)
+    # The H-wide KV scratch strips share the VMEM budget with the
+    # score tiles: shrink the chunk width first (finer chunks still
+    # double-buffer), then H.
+    kv_item = jnp.dtype(kp.dtype).itemsize + jnp.dtype(vp.dtype).itemsize
+    strip_budget = 6 * 1024 * 1024
+    while (hpc > 1 and chunk_pages > 1
+           and 2 * hpc * chunk_pages * page_rows * d_pad * kv_item
+           > strip_budget):
+        chunk_pages //= 2
+    while (hpc > 1
+           and 2 * hpc * chunk_pages * page_rows * d_pad * kv_item
+           > strip_budget):
+        hpc //= 2
+        while kv_heads % hpc:
+            hpc -= 1
     kernel = _make_paged_kernel(
         group=group, group_pad=rows_pad, page_size=page_size,
         page_rows=page_rows, d_pad=d_pad, scale=scale,
         out_dtype=q.dtype, pages_per_chunk=chunk_pages,
         precision=mxu_precision, kv_precision=kv_precision,
         has_starts=kv_starts is not None, q_chunk=q_chunk,
-        logit_softcap=logit_softcap, window_size=window_size)
+        logit_softcap=logit_softcap, window_size=window_size,
+        heads_per_chunk=hpc)
 
     scalar_args = [cache.page_table.astype(jnp.int32),
                    cache.lengths.astype(jnp.int32)]
@@ -608,9 +704,9 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalar_args),
-        grid=(batch, kv_heads),
+        grid=(batch, kv_heads // hpc),
         in_specs=[
-            pl.BlockSpec((1, 1, rows_pad, d_pad),
+            pl.BlockSpec((1, hpc, rows_pad, d_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
             # K/V pools stay in HBM; the kernel walks the page table
             # with its own double-buffered DMA.
@@ -618,14 +714,16 @@ def _paged_attention(q, cache, *, kv_starts, scale, interpret, q_chunk,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, rows_pad, d_pad),
+            pl.BlockSpec((1, hpc, rows_pad, d_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, RESIDUAL_SUBLANES, rows_pad),
+            pl.BlockSpec((1, hpc, RESIDUAL_SUBLANES, rows_pad),
                          lambda b, h, *p: (b, h, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_pages * page_rows, d_pad), kp.dtype),
-            pltpu.VMEM((2, chunk_pages * page_rows, d_pad), vp.dtype),
+            pltpu.VMEM((2, hpc, chunk_pages * page_rows, d_pad),
+                       kp.dtype),
+            pltpu.VMEM((2, hpc, chunk_pages * page_rows, d_pad),
+                       vp.dtype),
             pltpu.SemaphoreType.DMA((2, chunk_pages, 2)),
         ],
     )
