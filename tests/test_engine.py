@@ -1,6 +1,8 @@
 """Continuous-batching engine: staggered requests through shared paged
 pools must each reproduce their standalone paged_generate output."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +10,15 @@ import pytest
 
 from metal_flash_attention_tpu.models import llama, serving
 from metal_flash_attention_tpu.models.engine import ServingEngine
+
+# On the real chip, greedy streams are only bitwise-comparable between
+# IDENTICAL traces: XLA fuses each program shape differently and bf16
+# one-ULP logit ties flip argmaxes across different programs (the
+# CLAUDE.md trace-shape note; measured: engine step() != step_burst(k)
+# streams on v5e while step_burst(1) == step_burst(4) exactly).  The
+# engine's fixed-shape jits make engine-vs-engine comparisons safe on
+# both backends; engine-vs-paged_generate is CPU-only.
+REAL = bool(os.environ.get("MFA_TPU_TEST_REAL"))
 
 
 @pytest.fixture(scope="module")
@@ -84,12 +95,28 @@ def test_engine_chunked_prefill_interleaves(setup):
     page = 16
     short = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int32)
     long_p = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
-    ref_short = serving.paged_generate(
-        params, jnp.asarray(short[None]), cfg, max_new_tokens=12,
-        page_size=page)[0]
-    ref_long = serving.paged_generate(
-        params, jnp.asarray(long_p[None]), cfg, max_new_tokens=4,
-        page_size=page)[0]
+    # Reference: the SAME engine configuration run without
+    # interleaving pressure (one request at a time) — identical traces
+    # on every backend, so the comparison below is bitwise even on the
+    # real chip.  The independent paged_generate cross-check is a
+    # different program and only bitwise on CPU.
+    ref_eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=page, max_seq=128)
+    rs = ref_eng.submit(short, 12)
+    while not ref_eng.idle:
+        ref_eng.step()
+    ref_short = ref_eng.result(rs)
+    rl = ref_eng.submit(long_p, 4)
+    while not ref_eng.idle:
+        ref_eng.step()
+    ref_long = ref_eng.result(rl)
+    if not REAL:
+        assert ref_short.tolist() == serving.paged_generate(
+            params, jnp.asarray(short[None]), cfg, max_new_tokens=12,
+            page_size=page)[0].tolist()
+        assert ref_long.tolist() == serving.paged_generate(
+            params, jnp.asarray(long_p[None]), cfg, max_new_tokens=4,
+            page_size=page)[0].tolist()
 
     eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
                         page_size=page, max_seq=128)
@@ -352,20 +379,25 @@ def test_engine_burst_matches_single_step(setup):
         r1 = eng.submit(p1, 6, temperature=0.8, top_k=12)
         return r0, r1
 
-    # Reference: single-step drain.
+    # Reference: single-step drain on CPU; on the real chip the
+    # reference drains with step_burst(1) — the burst(k) contract is
+    # "identical to burst(1)" there (same scan-body trace; measured
+    # bitwise on v5e), while single-step is a different program whose
+    # bf16 near-ties may break differently.
+    def drain(e):
+        steps = 0
+        while not e.idle:
+            (e.step_burst(1) if REAL else e.step())
+            steps += 1
+            assert steps < 80
     ref = build()
     r0, r1 = submit_all(ref)
-    steps = 0
-    while not ref.idle:
-        ref.step()
-        steps += 1
-        assert steps < 80
+    drain(ref)
     ref_out = [ref.result(r0).tolist(), ref.result(r1).tolist()]
     ref_lp = ref.result_logprobs(r0).tolist()
     stop = ref_out[0][len(p0) + 4]
     rs = ref.submit(p0, 11, stop_tokens=[stop])
-    while not ref.idle:
-        ref.step()
+    drain(ref)
     ref_stop = ref.result(rs).tolist()
 
     # Burst engine: same submissions, drained with step_burst(4).

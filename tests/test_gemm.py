@@ -98,10 +98,24 @@ def test_gemm_descriptor_heuristic():
     from metal_flash_attention_tpu.descriptors.precision import (
         OperandPrecision,
     )
+    from metal_flash_attention_tpu.runtime.cache import (
+        KernelConfigCache,
+    )
+
     d = GEMMDescriptor(m=4096, n=4096, k=4096,
                        precision_a=OperandPrecision.BF16,
                        precision_b=OperandPrecision.BF16)
-    cfg = d.kernel_config(vmem_budget=15 * 2**20)
+    # This test asserts the ANALYTIC heuristic; on a chip whose
+    # persistent cache holds a measured winner (e.g. the r05 autotune
+    # preferred (1024, 512) at 4096³), kernel_config rightly returns
+    # that instead — so isolate the resolution from tuned state.
+    saved = KernelConfigCache._instance
+    KernelConfigCache._instance = KernelConfigCache(
+        store_path="/dev/null")
+    try:
+        cfg = d.kernel_config(vmem_budget=15 * 2**20)
+    finally:
+        KernelConfigCache._instance = saved
     # Large problems take 1024-wide tiles within the VMEM budget.
     assert cfg.block_m == 1024 and cfg.block_n == 1024
     assert GEMMDescriptor._vmem_bytes(

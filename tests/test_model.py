@@ -57,7 +57,11 @@ def test_loss_fused_ce_matches_naive(setup):
         jnp.int32)
     fused = llama.loss_fn(params, tokens, cfg)
     naive = llama.loss_fn(params, tokens, cfg, fused_ce=False)
-    assert abs(float(fused) - float(naive)) < 1e-4, (fused, naive)
+    # bf16 hidden states: on the real chip the fused and naive lm-head
+    # GEMMs fuse/reassociate differently at bf16 scale (measured up to
+    # ~3e-4 on a ~6.0 loss); hermetic CPU (true-fp32 DEFAULT) agrees
+    # to ~1e-6.
+    assert abs(float(fused) - float(naive)) < 1e-3, (fused, naive)
 
     g_f = jax.grad(lambda p: llama.loss_fn(p, tokens, cfg))(params)
     g_n = jax.grad(lambda p: llama.loss_fn(p, tokens, cfg,
